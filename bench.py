@@ -1,0 +1,93 @@
+"""Benchmark: pangenome multi-MUM throughput (Mbp/s) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference repo ships no numbers and cannot be compiled in
+this environment (no network for its thirdparty FetchContent). BASELINE.md's
+provisional single-core C++ figure for the full PFP+SA+MUM pipeline is
+~2 Mbp/s on repetitive collections; vs_baseline is computed against that
+until a real measurement exists (first act per SURVEY.md §6 once buildable).
+
+Workload: synthetic pangenome of N_DOCS mutated copies of a base genome
+(SNP rate ~0.5%), revcomp on, strict multi-MUMs — the shape of BASELINE
+config 1 scaled to MUMEMTO_BENCH_MBP megabases.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MBP_S = 2.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synth_collection(total_mbp: float, n_docs: int, seed: int = 0):
+    """n_docs mutated copies of one base sequence, ~total_mbp Mbp total
+    (pre-revcomp)."""
+    rng = np.random.default_rng(seed)
+    base_len = int(total_mbp * 1e6 / n_docs)
+    base = rng.integers(0, 4, base_len, dtype=np.int8)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    docs = []
+    for d in range(n_docs):
+        s = base.copy()
+        n_mut = max(1, int(base_len * 0.005))
+        pos = rng.integers(0, base_len, n_mut)
+        s[pos] = (s[pos] + rng.integers(1, 4, n_mut)) % 4
+        docs.append(acgt[s])
+    return docs
+
+
+def main():
+    from mumemto_tpu import engine, options
+    from mumemto_tpu.refbuilder import RefBuilder, revcomp
+
+    total_mbp = float(os.environ.get("MUMEMTO_BENCH_MBP", 8))
+    n_docs = int(os.environ.get("MUMEMTO_BENCH_DOCS", 8))
+    reps = int(os.environ.get("MUMEMTO_BENCH_REPS", 3))
+
+    log(f"[bench] generating {total_mbp} Mbp synthetic pangenome, {n_docs} docs")
+    docs = synth_collection(total_mbp, n_docs)
+    pieces = []
+    seq_lengths = []
+    dollar = np.frombuffer(b"$", dtype=np.uint8)
+    for fwd in docs:
+        pieces += [fwd, dollar, revcomp(fwd), dollar]
+        seq_lengths.append(2 * (fwd.size + 1))
+    text = np.concatenate(pieces)
+    rb = RefBuilder(text=text, seq_lengths=seq_lengths, num_docs=n_docs,
+                    use_revcomp=True, input_files=[], multifasta_names=[],
+                    multifasta_lengths=[])
+    opts = options.normalize(n_docs, quiet=True)
+    mbp = total_mbp  # input megabases (fwd strand, the reference's unit)
+
+    log(f"[bench] text size {text.size/1e6:.1f} M chars (incl. revcomp)")
+    t0 = time.time()
+    res = engine.find_matches(rb, opts)
+    warm = time.time() - t0
+    log(f"[bench] warmup (incl. compile): {warm:.2f}s, {res.num_matches} MUMs")
+
+    times = []
+    for r in range(reps):
+        t0 = time.time()
+        res = engine.find_matches(rb, opts)
+        times.append(time.time() - t0)
+        log(f"[bench] rep {r}: {times[-1]:.3f}s")
+    best = min(times)
+    value = mbp / best
+    print(json.dumps({
+        "metric": "pangenome multi-MUM throughput (SA+LCP+scan, 1 chip)",
+        "value": round(value, 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(value / BASELINE_MBP_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

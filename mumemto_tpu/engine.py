@@ -1,0 +1,368 @@
+"""End-to-end match-finding engine: collection text -> .mums/.mems outputs.
+
+Device side (JAX/XLA, see ops/): one fused program (ops/pipeline.py)
+building the suffix array by prefix doubling, exact LCP from the rank
+history, BWT/doc arrays, and the vectorized LCP-interval analysis, followed
+by device-side compaction so only O(matches) data ever reaches the host.
+Host side (numpy): coordinate transforms/canonicalization, writers, and
+merge threshold metadata — all in reference pop order (close row asc,
+length desc).
+
+Byte-compatible with the reference pipeline `build_main` (src/pfp_mum.cpp:31);
+semantics cited per rule in ops/intervals.py and below.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mumemto_tpu.jaxconfig import ensure_cache
+
+ensure_cache()
+
+import jax.numpy as jnp  # noqa: E402
+
+from mumemto_tpu import formats  # noqa: E402
+from mumemto_tpu.options import MatchOptions  # noqa: E402
+from mumemto_tpu.ops import pipeline as ops_pipeline  # noqa: E402
+from mumemto_tpu.ops import suffix as ops_suffix  # noqa: E402
+from mumemto_tpu.ops import intervals as ops_intervals  # noqa: E402
+
+MAX_THRESH = 65535  # mem_finder.hpp:299
+
+
+def pad_size(n: int, min_pad: int = 1) -> int:
+    """Bucket n + min_pad up to a power-of-two-ish size (0.75 / 1.0 multiples
+    of powers of two, min 4096) to bound the number of compiled shapes."""
+    target = max(n + min_pad, 4096)
+    p = 1 << (target - 1).bit_length()
+    if p // 2 + p // 4 >= target:
+        return p // 2 + p // 4
+    return p
+
+
+@dataclass
+class MatchResults:
+    """Compacted, emission-ordered match set + merge metadata."""
+    opts: MatchOptions
+    num_docs: int
+    # MUM mode: per-match doc-major arrays
+    lengths: np.ndarray = None          # (m,) int64
+    offsets: np.ndarray = None          # (m, N) int64, -1 = absent
+    strands: np.ndarray = None          # (m, N) int8: +1/-1/0
+    # MEM mode: ragged per-match occurrence lists
+    mem_lines: list = field(default_factory=list)
+    mem_records: list = field(default_factory=list)  # (L, positions, docs, strands)
+    # merge metadata
+    candidate_thresh: np.ndarray = None  # per-first-genome-position values
+    mum_positions: np.ndarray = None     # (m, 2) [offset-in-doc0, length]
+
+    @property
+    def num_matches(self) -> int:
+        if self.opts.mum_mode:
+            return 0 if self.lengths is None else len(self.lengths)
+        return len(self.mem_lines)
+
+    def mum_lines(self) -> list:
+        out = []
+        for i in range(len(self.lengths)):
+            strands = ["+" if s > 0 else "-" for s in self.strands[i]]
+            out.append(formats.format_mum_line(
+                int(self.lengths[i]), [int(x) for x in self.offsets[i]], strands))
+        return out
+
+    def output_bytes(self) -> bytes:
+        if self.opts.mum_mode:
+            return b"".join(self.mum_lines())
+        return b"".join(self.mem_lines)
+
+
+def _doc_metadata(rb, opts):
+    doc_offsets = np.zeros(rb.num_docs, dtype=np.int64)
+    doc_offsets[1:] = np.cumsum(np.asarray(rb.seq_lengths))[:-1]
+    doc_lens = np.asarray(rb.seq_lengths, dtype=np.int64)
+    if opts.use_revcomp:
+        doc_lens = doc_lens // 2
+    return doc_offsets, doc_lens
+
+
+def find_matches(rb, opts: MatchOptions) -> MatchResults:
+    """Full fused pipeline on one collection (device-side compaction)."""
+    n_real = int(rb.text.size)
+    n = pad_size(n_real, min_pad=2)
+    text = np.zeros(n, dtype=np.uint8)
+    text[:n_real] = rb.text
+    res, counts = ops_pipeline.scan_collection(
+        jnp.asarray(text), jnp.asarray(rb.doc_ends, dtype=jnp.int32),
+        n, rb.num_docs,
+        jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
+        jnp.int32(opts.max_total_freq), opts.max_doc_freq)
+    n_emit, n_cand = (int(x) for x in np.asarray(counts))
+
+    results = MatchResults(opts=opts, num_docs=rb.num_docs)
+    doc_offsets, doc_lens = _doc_metadata(rb, opts)
+
+    if opts.mum_mode:
+        W = rb.num_docs  # distinct docs => window size <= N
+        M = ops_pipeline.bucket(n_emit)
+        _, s, e, L, w_sa, w_da, w_prev, valid, real = (
+            np.asarray(x) for x in ops_pipeline.compact_windows(res, n, M, W))
+        m = n_emit
+        _emit_mums(results, s[:m], e[:m], L[:m], w_sa[:m], w_da[:m],
+                   valid[:m], opts, doc_offsets, doc_lens, rb.num_docs)
+    else:
+        M = ops_pipeline.bucket(n_emit)
+        _, s0, e0, _, real0 = (np.asarray(x) for x in
+                               ops_pipeline.compact_fields(res, n, M))
+        maxw = int((e0[:n_emit] - s0[:n_emit]).max()) if n_emit else 1
+        W = ops_pipeline.bucket(maxw, lo=8)
+        _, s, e, L, w_sa, w_da, w_prev, valid, real = (
+            np.asarray(x) for x in ops_pipeline.compact_windows(res, n, M, W))
+        m = n_emit
+        keep = np.ones(m, dtype=bool)
+        if opts.max_doc_freq != 1 and m:
+            # deferred distinct-count (check_doc_range unique >= k,
+            # mem_finder.hpp:265-289)
+            unique = (valid[:m] & (w_prev[:m] < s[:m, None])).sum(axis=1)
+            keep = unique >= opts.num_distinct
+        _emit_mems(results, s[:m][keep], e[:m][keep], L[:m][keep],
+                   w_sa[:m][keep], w_da[:m][keep], valid[:m][keep],
+                   opts, doc_offsets, doc_lens)
+
+    if opts.merge:
+        Wc = rb.num_docs
+        Mc = ops_pipeline.bucket(n_cand)
+        has0, sa_first0, prev_ctx, next_ctx = (
+            np.asarray(x) for x in
+            ops_pipeline.compact_cand_thresh(res, n, Mc, Wc))
+        _merge_thresholds(results, has0[:n_cand], sa_first0[:n_cand],
+                          prev_ctx[:n_cand], next_ctx[:n_cand],
+                          doc_offsets, doc_lens)
+    return results
+
+
+def compute_arrays(rb, padded_n: int | None = None):
+    """Host-array index construction (debug/test path). Returns numpy
+    (sa, lcp, bwt, da) over the zero-padded text."""
+    n_real = int(rb.text.size)
+    n = padded_n or pad_size(n_real, min_pad=2)
+    text = np.zeros(n, dtype=np.uint8)
+    text[:n_real] = rb.text
+    sa, lcp, bwt = ops_suffix.suffix_lcp_arrays(text)
+    da = ops_suffix.doc_array(sa, jnp.asarray(rb.doc_ends, dtype=jnp.int32),
+                              rb.num_docs)
+    return (np.asarray(sa), np.asarray(lcp), np.asarray(bwt), np.asarray(da))
+
+
+def find_matches_from_arrays(sa, lcp, bwt, da, rb, opts: MatchOptions) -> MatchResults:
+    """Host-array path (debug/test): same semantics as find_matches."""
+    n = int(sa.size)
+    res = ops_intervals.analyze_intervals(
+        jnp.asarray(lcp, jnp.int32), jnp.asarray(da, jnp.int32),
+        jnp.asarray(bwt), n,
+        jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
+        jnp.int32(opts.max_total_freq), opts.max_doc_freq)
+    cand = np.array(res["cand"])
+    emit = np.array(res["emit"])
+    s_all = np.asarray(res["s"])
+    e_all = np.asarray(res["e"])
+    prev_ctx = np.asarray(res["prev_ctx"])
+    next_ctx = np.asarray(res["next_ctx"])
+    prev_same = np.asarray(res["prev_same"])
+    lcp = np.asarray(lcp)
+    sa = np.asarray(sa)
+    da = np.asarray(da)
+
+    def ordered(idx):
+        return idx[np.lexsort((-lcp[idx], e_all[idx]))]
+
+    emit_idx = ordered(np.flatnonzero(emit))
+    results = MatchResults(opts=opts, num_docs=rb.num_docs)
+    doc_offsets, doc_lens = _doc_metadata(rb, opts)
+
+    s = s_all[emit_idx]
+    e = e_all[emit_idx]
+    L = lcp[emit_idx]
+    if opts.mum_mode:
+        W = rb.num_docs
+    else:
+        W = int((e - s).max()) if emit_idx.size else 1
+    cols = s[:, None] + np.arange(W)
+    valid = cols < e[:, None]
+    colc = np.minimum(cols, n - 1)
+    w_sa = sa[colc]
+    w_da = da[colc]
+    if opts.max_doc_freq != 1 and emit_idx.size:
+        w_prev = prev_same[colc]
+        unique = (valid & (w_prev < s[:, None])).sum(axis=1)
+        keep = unique >= opts.num_distinct
+        s, e, L = s[keep], e[keep], L[keep]
+        w_sa, w_da, valid = w_sa[keep], w_da[keep], valid[keep]
+
+    if opts.mum_mode:
+        _emit_mums(results, s, e, L, w_sa, w_da, valid, opts,
+                   doc_offsets, doc_lens, rb.num_docs)
+    else:
+        _emit_mems(results, s, e, L, w_sa, w_da, valid, opts,
+                   doc_offsets, doc_lens)
+
+    if opts.merge:
+        cand_idx = ordered(np.flatnonzero(cand))
+        sc = s_all[cand_idx]
+        ec = e_all[cand_idx]
+        colsc = np.minimum(sc[:, None] + np.arange(rb.num_docs), n - 1)
+        validc = colsc < ec[:, None]
+        is0 = validc & (da[colsc] == 0)
+        has0 = is0.any(axis=1)
+        first0 = np.argmax(is0, axis=1)
+        sa_first0 = sa[np.minimum(sc + first0, n - 1)]
+        _merge_thresholds(results, has0, sa_first0, prev_ctx[cand_idx],
+                          next_ctx[cand_idx], doc_offsets, doc_lens)
+    return results
+
+
+def _emit_mums(results, s, e, L, w_sa, w_da, valid, opts,
+               doc_offsets, doc_lens, num_docs):
+    """write_mum semantics (mem_finder.hpp:357-428), vectorized over the
+    compacted (m, W) windows (W = num_docs; all docs distinct in MUM mode)."""
+    m = len(s)
+    N = num_docs
+    L = L.astype(np.int64)
+    if m == 0:
+        results.lengths = np.zeros(0, dtype=np.int64)
+        results.offsets = np.zeros((0, N), dtype=np.int64)
+        results.strands = np.zeros((0, N), dtype=np.int8)
+        results.mum_positions = np.zeros((0, 2), dtype=np.int64)
+        return
+    docs = np.minimum(w_da, N - 1)
+    pos = w_sa.astype(np.int64) - doc_offsets[docs]
+    dl = doc_lens[docs]
+    neg = (valid & (pos >= dl)) if opts.use_revcomp else np.zeros_like(valid)
+    # '-'-strand matches crossing the doc's final terminator are dropped
+    # whole (mem_finder.hpp:372-373)
+    wrap_bad = (neg & (pos + L[:, None] >= 2 * dl)).any(axis=1)
+    tpos = np.where(neg, 2 * dl - pos - L[:, None] - 1, pos)
+
+    OFF = np.full((m, N), -1, dtype=np.int64)
+    STR = np.zeros((m, N), dtype=np.int8)
+    rows = np.broadcast_to(np.arange(m)[:, None], valid.shape)
+    OFF[rows[valid], docs[valid]] = tpos[valid]
+    STR[rows[valid], docs[valid]] = np.where(neg[valid], -1, 1)
+
+    # canonicalization: first present genome among docs 0..N-2 (or N-1 if
+    # none present) must be '+' (mem_finder.hpp:383-391)
+    head = STR[:, : N - 1] if N > 1 else STR
+    anyset = (head != 0).any(axis=1)
+    first = np.where(anyset, np.argmax(head != 0, axis=1), N - 1)
+    first_strand = STR[np.arange(m), first]
+    keep = ~wrap_bad & (first_strand != -1)
+
+    results.lengths = L[keep]
+    results.offsets = OFF[keep]
+    results.strands = STR[keep]
+    results.mum_positions = np.stack(
+        [OFF[keep][:, 0], L[keep]], axis=1) if opts.merge else None
+
+
+def _emit_mems(results, s, e, L, w_sa, w_da, valid, opts,
+               doc_offsets, doc_lens):
+    """write_mem semantics (mem_finder.hpp:210-263), incl. the last-element
+    '-' transform quirk (no -1 at :248)."""
+    lines = []
+    records = []
+    for i in range(len(s)):
+        Li = int(L[i])
+        nv = int(valid[i].sum())
+        docs = w_da[i, :nv]
+        pos = w_sa[i, :nv].astype(np.int64) - doc_offsets[docs]
+        dl = doc_lens[docs]
+        positions, strand = [], []
+        for t in range(nv):
+            p = int(pos[t])
+            d = int(dl[t])
+            if opts.use_revcomp and p >= d:
+                strand.append("-")
+                if t < nv - 1:
+                    p = 2 * d - p - Li - 1
+                else:
+                    p = 2 * d - p - Li
+            else:
+                strand.append("+")
+            positions.append(p)
+        lines.append(formats.format_mem_line(Li, positions, docs.tolist(), strand))
+        records.append((Li, np.asarray(positions, dtype=np.int64),
+                        docs.astype(np.int64),
+                        np.asarray([x == "+" for x in strand])))
+    results.mem_lines = lines
+    results.mem_records = records
+
+
+def _merge_thresholds(results, has0, sa_first0, prev_ctx, next_ctx,
+                      doc_offsets, doc_lens):
+    """candidate_thresh updates (mem_finder.hpp:326-336): for every candidate
+    interval (in pop order), next_best = min(max(LCP[s], LCP[e]), 65535) is
+    written at the first-genome offset of the interval's doc-0 row. Later
+    writes at the same position win (plain assignment in stream order)."""
+    dl0 = int(doc_lens[0])
+    thresh = np.zeros(dl0 * 2, dtype=np.int64)
+    rowpos = sa_first0[has0].astype(np.int64) - doc_offsets[0]
+    nb = np.minimum(np.maximum(prev_ctx[has0], next_ctx[has0]), MAX_THRESH)
+    if rowpos.size:
+        # keep-last-write semantics under duplicate positions
+        rev = np.arange(rowpos.size - 1, -1, -1)
+        uniq_pos, first_in_rev = np.unique(rowpos[rev], return_index=True)
+        thresh[uniq_pos] = nb[rev][first_in_rev]
+    results.candidate_thresh = thresh
+
+
+def thresh_arrays(results: MatchResults, doc_len0: int):
+    """Close-time .thresh/.thresh_rev generation (mem_finder.hpp:116-157)."""
+    mp = results.mum_positions
+    order = np.argsort(mp[:, 0], kind="stable")
+    mp = mp[order]
+    total = int((mp[:, 1] + 1).sum())
+    fwd = np.zeros(total, dtype=np.uint16)
+    rev = np.zeros(total, dtype=np.uint16)
+    ct = results.candidate_thresh
+    offset = 0
+    for pos, length in mp.tolist():
+        revpos = 2 * doc_len0 - pos - length - 1
+        jj = np.arange(length)
+        fv = ct[pos + jj]
+        rv = ct[revpos + jj]
+        sel = fv < (length - jj)
+        fwd[offset:offset + length][sel] = fv[sel]
+        sel = rv < (length - jj)
+        rev[offset:offset + length][sel] = rv[sel]
+        offset += length + 1
+    return fwd, rev
+
+
+def write_outputs(results: MatchResults, rb, prefix: str) -> None:
+    """Write .mums/.mems (+ .bumbl, merge metadata) like mem_finder's
+    constructor/close (mem_finder.hpp:91-158)."""
+    opts = results.opts
+    if not opts.mum_mode:
+        with open(prefix + ".mems", "wb") as f:
+            f.write(results.output_bytes())
+    elif opts.binary:
+        formats.write_bumbl(prefix + ".bumbl",
+                            results.lengths.astype(np.uint32),
+                            results.offsets,
+                            results.strands > 0,
+                            partial=opts.num_distinct < results.num_docs)
+    else:
+        with open(prefix + ".mums", "wb") as f:
+            f.write(results.output_bytes())
+
+    if opts.anchor_merge:
+        dl0 = int(rb.seq_lengths[0] // (2 if opts.use_revcomp else 1))
+        formats.write_thresh(prefix + ".athresh",
+                             results.candidate_thresh[:dl0])
+    elif opts.merge:
+        dl0 = int(rb.seq_lengths[0] // (2 if opts.use_revcomp else 1))
+        fwd, rev = thresh_arrays(results, dl0)
+        formats.write_thresh(prefix + ".thresh", fwd)
+        formats.write_thresh(prefix + ".thresh_rev", rev)

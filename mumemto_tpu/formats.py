@@ -301,4 +301,4 @@ def read_rl_bwt(path: str) -> np.ndarray:
     lens = np.zeros((rec.shape[0], 8), dtype=np.uint8)
     lens[:, :SSABYTES] = rec[:, 1:]
     lens = lens.view(np.uint64).reshape(-1)
-    return np.repeat(heads, lens)
+    return np.repeat(heads, lens.astype(np.int64))

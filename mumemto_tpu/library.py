@@ -1,0 +1,126 @@
+"""In-memory Python API mirroring the reference library + pybind extension.
+
+Reference surfaces:
+  mumemto::mumemto_mum / mumemto_mem (mumemto_library/mumemto_api.hpp:43-57,
+  impl mumemto_api.cpp:332-411) and the pybind MumResult/MemResult wrappers
+  (python_bindings/src/mumemto_pybind.cpp:47-117): match_at(i) returns
+  (length, offsets int64[num_docs], strands bool[num_docs]) for MUMs and
+  (length, offsets, seq_ids, strands) per occurrence for MEMs.
+
+Notes matching the reference library (not the CLI):
+  * num_distinct == 0 maps to "all documents" (mumemto_api.cpp:344-345,
+    387-388); no other CLI-style normalization is applied.
+  * mem() rejects max_doc_freq <= 1 (mumemto_api.cpp:381-383).
+  * max_total_freq is passed through untouched (0 = unlimited).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mumemto_tpu import engine, refbuilder
+from mumemto_tpu.options import MatchOptions
+
+
+class MumResult:
+    """Result of mum(): per-match (length, offsets, strands) arrays."""
+
+    def __init__(self, results: engine.MatchResults, lengths):
+        self._r = results
+        self.lengths = lengths  # per-doc per-record input lengths
+
+    def num_docs(self) -> int:
+        return self._r.num_docs
+
+    def num_matches(self) -> int:
+        return self._r.num_matches
+
+    def __len__(self) -> int:
+        return self.num_matches()
+
+    def match_at(self, idx: int):
+        if idx < 0 or idx >= self.num_matches():
+            raise IndexError("MumResult index out of range")
+        return (int(self._r.lengths[idx]),
+                self._r.offsets[idx],
+                self._r.strands[idx] > 0)
+
+    def __getitem__(self, idx: int):
+        return self.match_at(idx)
+
+    # columnar accessors (engine-native layout, beyond the reference API)
+    @property
+    def match_lengths(self) -> np.ndarray:
+        return self._r.lengths
+
+    @property
+    def offsets(self) -> np.ndarray:
+        return self._r.offsets
+
+    @property
+    def strands(self) -> np.ndarray:
+        return self._r.strands > 0
+
+
+class MemResult:
+    """Result of mem(): per-match (length, offsets, seq_ids, strands)."""
+
+    def __init__(self, results: engine.MatchResults, lengths, num_docs):
+        self._r = results
+        self.lengths = lengths
+        self._num_docs = num_docs
+
+    def num_docs(self) -> int:
+        return self._num_docs
+
+    def num_matches(self) -> int:
+        return len(self._r.mem_records)
+
+    def __len__(self) -> int:
+        return self.num_matches()
+
+    def match_at(self, idx: int):
+        if idx < 0 or idx >= self.num_matches():
+            raise IndexError("MemResult index out of range")
+        L, pos, docs, strands = self._r.mem_records[idx]
+        return (int(L), pos, docs, strands)
+
+    def __getitem__(self, idx: int):
+        return self.match_at(idx)
+
+
+def _record_lengths(sequences):
+    return [[len(s) for s in doc] for doc in sequences]
+
+
+def mum(sequences, min_match_len: int = 20, use_revcomp: bool = True,
+        num_distinct: int = 0) -> MumResult:
+    """Find multi-MUMs across in-memory sequence collections.
+
+    sequences: list of documents, each a list of str/bytes records.
+    """
+    rb = refbuilder.build_from_sequences(sequences, use_revcomp=use_revcomp)
+    if num_distinct == 0:
+        num_distinct = rb.num_docs
+    opts = MatchOptions(min_match_len=min_match_len, num_distinct=num_distinct,
+                        max_doc_freq=1, max_total_freq=0,
+                        use_revcomp=use_revcomp)
+    results = engine.find_matches(rb, opts)
+    return MumResult(results, _record_lengths(sequences))
+
+
+def mem(sequences, min_match_len: int = 20, use_revcomp: bool = True,
+        num_distinct: int = 0, max_total_freq: int = 0,
+        max_doc_freq: int = 2) -> MemResult:
+    """Find multi-MEMs (per-doc frequency up to max_doc_freq)."""
+    if max_doc_freq <= 1:
+        raise ValueError(
+            "mumemto_mem requires max_doc_freq > 1 (use mumemto_mum for unique matches)")
+    rb = refbuilder.build_from_sequences(sequences, use_revcomp=use_revcomp)
+    if num_distinct == 0:
+        num_distinct = rb.num_docs
+    opts = MatchOptions(min_match_len=min_match_len, num_distinct=num_distinct,
+                        max_doc_freq=max_doc_freq, max_total_freq=max_total_freq,
+                        use_revcomp=use_revcomp)
+    results = engine.find_matches(rb, opts)
+    return MemResult(results, _record_lengths(sequences), rb.num_docs)

@@ -1,0 +1,204 @@
+"""Vectorized LCP-interval analysis: the match-finding scan as array ops.
+
+The reference streams SA rows through a stack machine (include/
+mem_finder.hpp:304-355). The set of intervals that machine tests is exactly
+the set of canonical LCP intervals: for each boundary p (1 <= p < n) with
+L = LCP[p] >= min_match_len,
+
+  s(p) = PSV(p) = max q < p with LCP[q] < L   (interval rows are [s, e-1])
+  e(p) = NSV(p) = min q > p with LCP[q] < L   (interval closes at row e)
+
+deduplicated to the leftmost boundary attaining L inside (s, e). Intervals
+whose NSV does not exist (still open when the stream ends) are never emitted
+by the reference — we preserve that by dropping p with no NSV.
+
+Emission conditions (mem_finder.hpp:320-344), translated per-interval:
+  L >= min_match_len
+  size = e - s >= num_distinct
+  no_max_freq or size <= max_total_freq
+  doc filter over DA[s..e-1] (per-doc count <= f; distinct >= k)
+  left-maximality: some BWT change strictly inside (s, e-1]
+
+and the stack context values used by merge thresholds are
+  prev_ctx = LCP[s],  next_ctx = LCP[e]   (mem_finder.hpp:311-347).
+
+Emission order in the output file equals pop order = sort by (e asc, L desc).
+
+TPU cost model (measured on v5e): lax.sort of n=4M 3-operand ~ 9ms;
+random gather ~30ms; scatter ~40ms; cummax/scan ~1ms. Design rules used
+here: never build tables with gathers (use slices), replace range queries
+with scatter + directional scans where possible, replace per-element
+searches with sorts. Remaining gathers: the PSV/NSV log-walks (the future
+Pallas block-scan kernel replaces exactly those) and O(1) lookups.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mumemto_tpu.ops.suffix import _num_levels
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _sparse_min_table(values: jax.Array) -> list:
+    """table[l][x] = min(values[x : x + 2^l]) with end-clamping, built with
+    slices only (no gathers)."""
+    n = values.shape[0]
+    L = _num_levels(n)
+    table = [values]
+    for lvl in range(1, L + 1):
+        half = 1 << (lvl - 1)
+        prev = table[-1]
+        if half >= n:
+            table.append(prev)
+            continue
+        shifted = jnp.concatenate(
+            [prev[half:], jnp.broadcast_to(prev[-1:], (half,))])
+        table.append(jnp.minimum(prev, shifted))
+    return table
+
+
+def _psv_walk(table_min: list, p: jax.Array, thresh: jax.Array):
+    """max q < p with LCP[q] < thresh (exists whenever LCP[0] < thresh)."""
+    n = table_min[0].shape[0]
+    cur = p - 1
+    for lvl in range(len(table_min) - 1, -1, -1):
+        width = 1 << lvl
+        start = cur - width + 1
+        ok = start >= 0
+        blockmin = jnp.take(table_min[lvl], jnp.clip(start, 0, n - 1))
+        take = ok & (blockmin >= thresh)
+        cur = jnp.where(take, cur - width, cur)
+    return cur
+
+
+def _nsv_walk(table_min: list, p: jax.Array, thresh: jax.Array):
+    """min q > p with LCP[q] < thresh, or n if none (open interval)."""
+    n = table_min[0].shape[0]
+    cur = p + 1
+    for lvl in range(len(table_min) - 1, -1, -1):
+        width = 1 << lvl
+        ok = cur + width <= n
+        blockmin = jnp.take(table_min[lvl], jnp.clip(cur, 0, n - 1))
+        take = ok & (blockmin >= thresh)
+        cur = jnp.where(take, cur + width, cur)
+    return cur
+
+
+def prev_same_doc(da: jax.Array) -> jax.Array:
+    """prev[r] = largest r' < r with da[r'] == da[r], else -1 (sort-based)."""
+    n = da.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    d_sorted, i_sorted = jax.lax.sort((da, idx), num_keys=1, is_stable=True)
+    prev_sorted = jnp.concatenate([
+        jnp.full((1,), -1, jnp.int32),
+        jnp.where(d_sorted[1:] == d_sorted[:-1], i_sorted[:-1], -1),
+    ])
+    return jnp.zeros((n,), jnp.int32).at[i_sorted].set(prev_sorted)
+
+
+def _compose_prev(prev: jax.Array, times: int) -> jax.Array:
+    """times-fold composition of the prev-pointer (for per-doc freq > f)."""
+    out = prev
+    for _ in range(times - 1):
+        out = jnp.where(out >= 0, jnp.take(prev, jnp.maximum(out, 0)), -1)
+    return out
+
+
+def _first_violation_from(prevf: jax.Array) -> jax.Array:
+    """mindup[s] = min{ r : prevf[r] >= s }, or INT32_MAX if none.
+
+    An interval [s, e) violates the per-doc frequency cap iff mindup[s] < e
+    (equivalently max over the window of prevf >= s). Built with one
+    scatter-min + one reverse cummin instead of per-interval range queries.
+    """
+    n = prevf.shape[0]
+    r = jnp.arange(n, dtype=jnp.int32)
+    a = jnp.full((n,), INT32_MAX, jnp.int32)
+    a = a.at[jnp.clip(prevf, 0, n - 1)].min(jnp.where(prevf >= 0, r, INT32_MAX))
+    return jax.lax.cummin(a, reverse=True)
+
+
+def _leftmost_mask(e: jax.Array, lcp: jax.Array, n: int) -> jax.Array:
+    """keep[p] = True iff p is the smallest boundary of its interval.
+
+    All boundaries of one canonical interval share (e, L) — and (e, L)
+    uniquely identifies the interval (nested intervals popped at the same
+    close row have distinct depths). One sort replaces a PSV<=L walk.
+    """
+    p = jnp.arange(n, dtype=jnp.int32)
+    e_s, l_s, p_s = jax.lax.sort((e, lcp, p), num_keys=3)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (e_s[1:] != e_s[:-1]) | (l_s[1:] != l_s[:-1]),
+    ])
+    return jnp.zeros((n,), bool).at[p_s].set(first)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_doc_freq"))
+def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
+                      n: int, min_match_len, num_distinct,
+                      max_total_freq, max_doc_freq: int):
+    """Evaluate every candidate LCP interval; returns per-boundary arrays.
+
+    Returns dict of n-sized arrays:
+      emit      bool — passes all conditions incl. left-maximality
+      cand      bool — passes all conditions EXCEPT left-maximality
+                (these still update merge thresholds, mem_finder.hpp:326-336)
+      s, e, L   interval geometry (valid where cand)
+      prev_ctx/next_ctx  LCP[s] / LCP[e] (merge threshold inputs)
+      prev_same prev-same-doc pointers (host MEM-mode distinct counting)
+
+    For max_doc_freq != 1 the distinct-count (unique >= k) sub-check of
+    check_doc_range is deferred to the host over the compacted candidates.
+    """
+    p = jnp.arange(n, dtype=jnp.int32)
+    Lv = lcp
+    is_cand = lcp >= min_match_len
+
+    tmin = _sparse_min_table(lcp)
+    s = _psv_walk(tmin, p, Lv)
+    e = _nsv_walk(tmin, p, Lv)
+    closed = e < n
+    leftmost = _leftmost_mask(e, lcp, n)
+
+    size = e - s
+    cond_size = size >= num_distinct
+    cond_freq = (max_total_freq == 0) | (size <= max_total_freq)
+
+    # left-maximality: last BWT change at rows <= e-1 must be > s
+    changed = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (bwt[1:] != bwt[:-1]).astype(jnp.int32),
+    ])
+    last_change = jax.lax.cummax(p * changed)
+    lm = jnp.take(last_change, jnp.clip(e - 1, 0, n - 1)) > s
+
+    # per-doc frequency cap: violated iff some doc occurs > f times in [s, e)
+    prev = prev_same_doc(da)
+    if max_doc_freq > 0:
+        prevf = _compose_prev(prev, max_doc_freq)
+        mindup = _first_violation_from(prevf)
+        doc_freq_ok = jnp.take(mindup, jnp.clip(s, 0, n - 1)) >= e
+    else:
+        doc_freq_ok = jnp.ones((n,), bool)
+
+    cand = is_cand & leftmost & closed & cond_size & cond_freq & doc_freq_ok
+
+    prev_ctx = jnp.take(lcp, jnp.clip(s, 0, n - 1))
+    next_ctx = jnp.take(lcp, jnp.clip(e, 0, n - 1))
+
+    return {
+        "cand": cand,
+        "emit": cand & lm,
+        "s": s,
+        "e": e,
+        "L": Lv,
+        "prev_ctx": prev_ctx,
+        "next_ctx": next_ctx,
+        "prev_same": prev,
+    }

@@ -1,0 +1,111 @@
+"""Fused device pipeline: text -> index -> interval scan -> compacted matches.
+
+Two jitted phases to keep host<->device traffic tiny (device may sit behind
+a slow transport):
+
+  scan_collection : one fused program building SA/LCP/BWT/DA and running the
+                    interval analysis; returns the device-resident result
+                    dict plus scalar counts (the only host readback).
+  compact_*       : gather the selected intervals' fields and their SA-row
+                    windows into fixed-size (bucketed) arrays on device, so
+                    the host only ever receives O(matches) data, never O(n).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mumemto_tpu.ops import intervals as ops_intervals
+from mumemto_tpu.ops import suffix as ops_suffix
+
+
+@functools.partial(jax.jit, static_argnames=("n", "num_docs", "max_doc_freq"))
+def scan_collection(text, doc_ends, n: int, num_docs: int,
+                    min_match_len, num_distinct, max_total_freq,
+                    max_doc_freq: int):
+    sa, hist, num_lvl = ops_suffix._suffix_array_impl(text, n)
+    lcp = ops_suffix._lcp_impl(sa, hist, num_lvl, n)
+    bwt = jnp.take(text, (sa + (n - 1)) % n)
+    da = jnp.minimum(
+        jnp.searchsorted(doc_ends, sa, side="right"), num_docs
+    ).astype(jnp.int32)
+    res = ops_intervals.analyze_intervals(
+        lcp, da, bwt, n, min_match_len, num_distinct, max_total_freq,
+        max_doc_freq)
+    res["sa"] = sa
+    res["da"] = da
+    res["lcp"] = lcp
+    counts = jnp.stack([res["emit"].sum(dtype=jnp.int32),
+                        res["cand"].sum(dtype=jnp.int32)])
+    return res, counts
+
+
+def _select_ordered(mask, e, lcp, n: int, M: int):
+    """Indices of mask=True in reference pop order (e asc, L desc), padded
+    with n (invalid) to M entries, via one sort."""
+    p = jnp.arange(n, dtype=jnp.int32)
+    key_e = jnp.where(mask, e, jnp.int32(n + 1))
+    key_l = jnp.where(mask, -lcp, jnp.int32(0))
+    _, _, idx = jax.lax.sort((key_e, key_l, p), num_keys=2)
+    return idx[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "M", "W"))
+def compact_windows(res, n: int, M: int, W: int):
+    """Gather the first M emitted intervals (pop order) + their SA-row
+    windows of width W. Returns (idx, s, e, L, w_sa, w_da, w_prev, valid)."""
+    idx = _select_ordered(res["emit"], res["e"], res["L"], n, M)
+    s = jnp.take(res["s"], idx)
+    e = jnp.take(res["e"], idx)
+    L = jnp.take(res["L"], idx)
+    real = jnp.take(res["emit"], idx)
+    cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = (cols < e[:, None]) & real[:, None]
+    colc = jnp.clip(cols, 0, n - 1)
+    w_sa = jnp.take(res["sa"], colc)
+    w_da = jnp.take(res["da"], colc)
+    w_prev = jnp.take(res["prev_same"], colc)
+    return idx, s, e, L, w_sa, w_da, w_prev, valid, real
+
+
+@functools.partial(jax.jit, static_argnames=("n", "M"))
+def compact_fields(res, n: int, M: int):
+    """Emitted intervals' (s, e, L) in pop order (no windows)."""
+    idx = _select_ordered(res["emit"], res["e"], res["L"], n, M)
+    s = jnp.take(res["s"], idx)
+    e = jnp.take(res["e"], idx)
+    L = jnp.take(res["L"], idx)
+    real = jnp.take(res["emit"], idx)
+    return idx, s, e, L, real
+
+
+@functools.partial(jax.jit, static_argnames=("n", "M", "W"))
+def compact_cand_thresh(res, n: int, M: int, W: int):
+    """Per-candidate merge-threshold inputs in pop order: the first doc-0
+    row's SA value within the window, next_best = min(max(prev,next),cap)
+    computed host-side from contexts."""
+    idx = _select_ordered(res["cand"], res["e"], res["L"], n, M)
+    s = jnp.take(res["s"], idx)
+    e = jnp.take(res["e"], idx)
+    real = jnp.take(res["cand"], idx)
+    cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = (cols < e[:, None]) & real[:, None]
+    colc = jnp.clip(cols, 0, n - 1)
+    w_da = jnp.take(res["da"], colc)
+    is0 = valid & (w_da == 0)
+    has0 = is0.any(axis=1)
+    first0 = jnp.argmax(is0, axis=1)
+    w_sa_first0 = jnp.take(
+        res["sa"],
+        jnp.clip(s + first0.astype(jnp.int32), 0, n - 1))
+    prev_ctx = jnp.take(res["prev_ctx"], idx)
+    next_ctx = jnp.take(res["next_ctx"], idx)
+    return has0 & real, w_sa_first0, prev_ctx, next_ctx
+
+
+def bucket(m: int, lo: int = 256) -> int:
+    """Power-of-two bucket for compaction sizes."""
+    return max(lo, 1 << (max(m, 1) - 1).bit_length())

@@ -1,0 +1,111 @@
+"""Suffix array / LCP / BWT / document-array construction in JAX.
+
+TPU-first replacement for the reference's gSACAK path (include/
+direct_gsacak.hpp:39-116): instead of sequential SA-IS induction, we use
+prefix doubling — O(log n) rounds of `jax.lax.sort` over (rank, rank-at-
+offset-2^k) key pairs — which maps onto XLA's parallel sort. The per-round
+rank arrays are kept as a "rank history"; the LCP array is then computed
+exactly (no hashing) by the classic rank-descent: walk levels high→low and
+extend the match by 2^l whenever the level-l ranks agree. Everything is
+int32, HBM-resident, static-shaped.
+
+Text convention: input collection text (uint8, '$'-separated docs, see
+refbuilder) padded with trailing zeros to the array size. The zero padding
+acts as the terminator (the reference appends {1,0}; direct_gsacak.hpp:56-57)
+and is output-neutral: pad suffixes sort before all real suffixes, the
+boundary LCP into the first real row is 0, every pad row's doc id is
+num_docs (outside the collection), so no pad row can ever participate in an
+emitted interval (distinct-docs >= 2 is required). This allows bucketing
+text lengths to a few compiled shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _num_levels(n: int) -> int:
+    """Number of doubling rounds so that 2^rounds >= n."""
+    return max(1, math.ceil(math.log2(max(n, 2))))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _suffix_array_impl(text: jax.Array, n: int):
+    L = _num_levels(n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank0 = text.astype(jnp.int32)
+    hist = jnp.zeros((L + 1, n), dtype=jnp.int32).at[0].set(rank0)
+
+    def body(carry):
+        rank, sa, hist, k, lvl, _done = carry
+        # rank of the suffix starting 2^(lvl-1) later; -1 past the end
+        key2 = jnp.where(idx + k < n, jnp.take(rank, jnp.minimum(idx + k, n - 1)), -1)
+        r1, r2, perm = jax.lax.sort((rank, key2, idx), num_keys=2)
+        changed = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32),
+        ])
+        new_rank_sorted = jnp.cumsum(changed)
+        new_rank = jnp.zeros((n,), jnp.int32).at[perm].set(new_rank_sorted)
+        done = new_rank_sorted[-1] == n - 1
+        hist = jax.lax.dynamic_update_slice(hist, new_rank[None, :], (lvl, 0))
+        return new_rank, perm, hist, k * 2, lvl + 1, done
+
+    def cond(carry):
+        _rank, _sa, _hist, _k, lvl, done = carry
+        return (lvl <= L) & jnp.logical_not(done)
+
+    init = (rank0, jnp.argsort(rank0, stable=True).astype(jnp.int32),
+            hist, jnp.int32(1), jnp.int32(1), jnp.bool_(False))
+    rank, sa, hist, _k, lvl, _done = jax.lax.while_loop(cond, body, init)
+    return sa, hist, lvl
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _lcp_impl(sa: jax.Array, hist: jax.Array, num_lvl: jax.Array, n: int):
+    """lcp[j] = LCP(suffix sa[j-1], suffix sa[j]); lcp[0] = 0.
+
+    Exact rank-descent using the doubling history. Levels above the last
+    computed round use the final (all-distinct) rank row: equality there is
+    impossible, so they contribute nothing — no special-casing needed.
+    """
+    L = hist.shape[0] - 1
+    a = jnp.concatenate([sa[:1], sa[:-1]])  # previous row (a[0] unused)
+    b = sa
+    h = jnp.zeros((n,), jnp.int32)
+    for lvl in range(L, -1, -1):
+        row = jnp.minimum(jnp.int32(lvl), num_lvl - 1)
+        ranks = jax.lax.dynamic_index_in_dim(hist, row, axis=0, keepdims=False)
+        ia = a + h
+        ib = b + h
+        inb = (ia < n) & (ib < n)
+        ra = jnp.take(ranks, jnp.minimum(ia, n - 1))
+        rb = jnp.take(ranks, jnp.minimum(ib, n - 1))
+        h = jnp.where(inb & (ra == rb), h + (1 << lvl), h)
+    return h.at[0].set(0)
+
+
+def suffix_lcp_arrays(text_padded: np.ndarray | jax.Array):
+    """Full index construction: (sa, lcp, bwt) as device arrays.
+
+    bwt[j] = text[(sa[j] - 1) mod n], matching direct_gsacak.hpp:64-67.
+    """
+    n = int(text_padded.shape[0])
+    text = jnp.asarray(text_padded, dtype=jnp.uint8)
+    sa, hist, num_lvl = _suffix_array_impl(text, n)
+    lcp = _lcp_impl(sa, hist, num_lvl, n)
+    bwt = jnp.take(text, (sa + (n - 1)) % n)
+    return sa, lcp, bwt
+
+
+@functools.partial(jax.jit, static_argnames=("num_docs",))
+def doc_array(sa: jax.Array, doc_ends: jax.Array, num_docs: int) -> jax.Array:
+    """Doc id per SA row: count of doc ends <= position (sdsl rank
+    semantics, ref_builder.cpp:183-190); pad/sentinel rows get num_docs."""
+    da = jnp.searchsorted(doc_ends.astype(jnp.int32), sa, side="right")
+    return jnp.minimum(da, num_docs).astype(jnp.int32)

@@ -1,0 +1,94 @@
+"""Multi-device scale-out: the MumemtoM partition scheme as a device mesh.
+
+The reference's only scale-out mechanism is partition-merge ("MumemtoM",
+README.md:124-142): run the finder independently per collection partition,
+emit per-anchor-position threshold metadata, then merge candidate sets. Here
+that becomes a sharded JAX program over a Mesh with axes
+
+  'part' — collection partitions (the reference's per-host runs; DCN axis)
+  'seq'  — sequence/SA-row sharding inside one partition (ICI axis)
+
+Each partition's index construction + interval scan runs data-parallel under
+vmap over the 'part'-sharded batch; reductions across partitions (match
+counts, merged anchor thresholds) become XLA collectives inserted by GSPMD.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mumemto_tpu.ops import suffix as ops_suffix
+from mumemto_tpu.ops import intervals as ops_intervals
+
+
+def make_mesh(n_devices: int | None = None, devices=None):
+    """1D/2D mesh over available devices: ('part',) or ('part', 'seq')."""
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n >= 4 and n % 2 == 0:
+        shape, axes = (n // 2, 2), ("part", "seq")
+    else:
+        shape, axes = (n,), ("part",)
+    dev_array = np.asarray(devices).reshape(shape)
+    return jax.sharding.Mesh(dev_array, axes)
+
+
+def _partition_scan(text, doc_ends, num_docs: int, min_match_len, num_distinct):
+    """Single-partition pipeline: index construction + MUM interval scan.
+
+    Returns (match_count, longest_match_len, per-position emit mask).
+    """
+    n = text.shape[0]
+    sa, hist, num_lvl = ops_suffix._suffix_array_impl(text, n)
+    lcp = ops_suffix._lcp_impl(sa, hist, num_lvl, n)
+    bwt = jnp.take(text, (sa + (n - 1)) % n)
+    da = jnp.minimum(jnp.searchsorted(doc_ends, sa, side="right"),
+                     num_docs).astype(jnp.int32)
+    res = ops_intervals.analyze_intervals(
+        lcp, da, bwt, n, min_match_len, num_distinct,
+        jnp.int32(0), 1)
+    emit = res["emit"]
+    count = emit.sum(dtype=jnp.int32)
+    longest = jnp.max(jnp.where(emit, res["L"], 0))
+    return count, longest, emit
+
+
+def partitioned_step(texts, doc_ends, num_docs: int,
+                     min_match_len=20, num_distinct=2):
+    """One full data-parallel step over partition-sharded inputs.
+
+    texts: (num_partitions, n) uint8, sharded over 'part'
+    doc_ends: (num_partitions, num_docs) int32 end positions per partition
+
+    Returns (total_matches across all partitions, per-partition counts,
+    per-partition longest match) — the cross-partition reduction lowers to
+    an all-reduce over the 'part' axis.
+    """
+    counts, longest, _ = jax.vmap(
+        lambda t, d: _partition_scan(t, d, num_docs,
+                                     jnp.int32(min_match_len),
+                                     jnp.int32(num_distinct)))(texts, doc_ends)
+    total = counts.sum()
+    return total, counts, longest
+
+
+def compile_partitioned_step(mesh, texts_shape, num_docs: int):
+    """jit the partitioned step with explicit shardings over the mesh."""
+    spec_in = P("part", "seq") if "seq" in mesh.axis_names else P("part")
+    sharding_in = NamedSharding(mesh, spec_in)
+    sharding_doc = NamedSharding(mesh, P("part"))
+    out_shard = (NamedSharding(mesh, P()),
+                 NamedSharding(mesh, P("part")),
+                 NamedSharding(mesh, P("part")))
+    fn = jax.jit(
+        functools.partial(partitioned_step, num_docs=num_docs),
+        in_shardings=(sharding_in, sharding_doc),
+        out_shardings=out_shard)
+    return fn

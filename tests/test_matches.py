@@ -1,0 +1,130 @@
+"""Golden equivalence: JAX engine output == trusted oracle, byte for byte."""
+
+import numpy as np
+import pytest
+
+from mumemto_tpu import engine, options, refbuilder
+from mumemto_tpu.oracle import naive
+from tests.conftest import mutated_collection, rand_seq
+
+
+def _assert_equal(rb, opts):
+    want = naive.oracle_output(rb, opts)
+    got = engine.find_matches(rb, opts).output_bytes()
+    assert want == got, (
+        f"engine/oracle mismatch\nwant[:300]={want[:300]!r}\ngot[:300]={got[:300]!r}")
+    return want
+
+
+@pytest.mark.parametrize("use_revcomp", [True, False])
+@pytest.mark.parametrize("k", [0, -1, 2])
+def test_mums_match_oracle(rng, use_revcomp, k):
+    docs = mutated_collection(rng, int(rng.integers(2, 5)))
+    rb = refbuilder.build_from_sequences(docs, use_revcomp=use_revcomp)
+    opts = options.normalize(rb.num_docs, num_distinct_docs=k,
+                             use_revcomp=use_revcomp, quiet=True)
+    out = _assert_equal(rb, opts)
+    assert out  # matches exist by construction
+
+
+@pytest.mark.parametrize("k,f,F", [(0, 2, 0), (0, 3, 0), (2, 2, 0),
+                                   (0, 0, 0), (0, 2, -1)])
+def test_mems_match_oracle(rng, k, f, F):
+    rep = rand_seq(rng, 60)
+    docs = mutated_collection(rng, 3, base_len=150, insert_rep=rep)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, num_distinct_docs=k, rare_freq=f,
+                             max_mem_freq=F, quiet=True)
+    _assert_equal(rb, opts)
+
+
+def test_mum_properties(rng):
+    """Property check: every reported strict multi-MUM occurs exactly once
+    per genome (on the reported strand) and is maximal."""
+    docs = mutated_collection(rng, 3)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    res = engine.find_matches(rb, opts)
+    assert res.num_matches > 0
+    genomes = [d[0].encode() for d in docs]
+    from mumemto_tpu.refbuilder import revcomp
+    rcs = [bytes(revcomp(np.frombuffer(g, np.uint8))) for g in genomes]
+    for i in range(res.num_matches):
+        L = int(res.lengths[i])
+        substr = None
+        for d in range(rb.num_docs):
+            off = int(res.offsets[i][d])
+            st = int(res.strands[i][d])
+            assert off >= 0
+            src = genomes[d] if st > 0 else rcs[d]
+            got = src[off:off + L]
+            if substr is None:
+                substr = got
+            assert got == substr, f"match {i} doc {d} substring differs"
+        # uniqueness: appears exactly once across fwd+rc of each genome
+        for d in range(rb.num_docs):
+            hay = genomes[d] + b"$" + rcs[d]
+            count = 0
+            start = 0
+            while True:
+                p = hay.find(substr, start)
+                if p < 0:
+                    break
+                count += 1
+                start = p + 1
+            assert count == 1, f"match {i} occurs {count}x in doc {d}"
+
+
+def test_merge_threshold_metadata(rng):
+    docs = mutated_collection(rng, 3)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, merge=True, quiet=True)
+    f_o = naive.run_finder(rb, opts)
+    r_e = engine.find_matches(rb, opts)
+    assert (np.asarray(f_o.candidate_thresh) == r_e.candidate_thresh).all()
+    fo, ro = f_o.thresh_arrays()
+    dl0 = rb.seq_lengths[0] // 2
+    fe, re_ = engine.thresh_arrays(r_e, dl0)
+    assert (fo == fe).all()
+    assert (ro == re_).all()
+
+
+def test_write_outputs_files(rng, tmp_path):
+    docs = mutated_collection(rng, 3)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    res = engine.find_matches(rb, opts)
+    engine.write_outputs(res, rb, str(tmp_path / "out"))
+    want = naive.oracle_output(rb, opts)
+    assert (tmp_path / "out.mums").read_bytes() == want
+
+    # binary mode
+    opts_b = options.normalize(rb.num_docs, binary=True, quiet=True)
+    res_b = engine.find_matches(rb, opts_b)
+    engine.write_outputs(res_b, rb, str(tmp_path / "outb"))
+    from mumemto_tpu import formats
+    L, S, T, _, flags = formats.parse_bumbl(str(tmp_path / "outb.bumbl"))
+    assert (L == res.lengths).all()
+    assert (S == res.offsets).all()
+    assert (T == (res.strands > 0)).all()
+    assert not (flags & formats.FLAG_PARTIAL)
+
+
+def test_library_api(rng):
+    import mumemto_tpu
+    docs = mutated_collection(rng, 3)
+    r = mumemto_tpu.mum([list(d) for d in docs])
+    assert r.num_docs() == 3
+    assert len(r) > 0
+    L, off, st = r[0]
+    assert off.shape == (3,) and st.dtype == bool
+    with pytest.raises(IndexError):
+        r.match_at(len(r))
+    with pytest.raises(ValueError):
+        mumemto_tpu.mem([list(d) for d in docs], max_doc_freq=1)
+    rep = rand_seq(rng, 60)
+    docs2 = mutated_collection(rng, 2, base_len=120, insert_rep=rep)
+    r2 = mumemto_tpu.mem([list(d) for d in docs2], max_doc_freq=3)
+    assert len(r2) > 0
+    L, pos, ids, st = r2[0]
+    assert len(pos) == len(ids) == len(st)
