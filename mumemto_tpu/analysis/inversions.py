@@ -1,0 +1,7 @@
+"""Placeholder: implemented in a later milestone of this round."""
+import sys
+
+
+def run(argv) -> int:
+    print("mumemto inversions: not yet implemented in this build", file=sys.stderr)
+    return 2

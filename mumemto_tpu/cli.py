@@ -1,0 +1,184 @@
+"""mumemto-compatible CLI: build command + subcommand dispatch.
+
+Mirrors the reference command surface:
+  * build flags: src/pfp_mum.cpp:255-313 (getopt string "hi:F:o:w:sl:ra:AKk:p:m:f:bgMnP")
+  * subcommand router: mumemto/mumemto:180-230 (viz, inversion, coverage,
+    collinear, convert, view, extract, label, lengths, merge, bed)
+  * easter egg: `mumemto mori` prints a skull (pfp_mum.cpp:373-378)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+VERSION = "1.4.0"
+
+SKULL = r"""
+                            ,--.
+                           {    }
+                           K,   }
+                          /  ~Y`
+                     ,   /   /
+                    {_'-K.__/
+                      `/-.__L._
+                      /  ' /`\_}
+                     /  ' /
+             ____   /  ' /
+      ,-'~~~~    ~~/  ' /_
+    ,'             ``~~~  ',
+   (                        Y
+  {                         I
+ {      -                    `,
+ |       ',                   )
+ |        |   ,..__      __. Y
+ |    .,_./  Y ' / ^Y   J   )|
+ \           |' /   |   |   ||
+  \          L_/    . _ (_,.'(
+   \,   ,      ^^""' / |      )
+     \_  \          /,L]     /
+       '-_~-,       ` `   ./`
+          `'{_            )
+              ^^\..___,.--`
+"""
+
+SUBCOMMANDS = ("viz", "inversion", "coverage", "collinear", "convert", "view",
+               "extract", "label", "lengths", "merge", "bed", "mori")
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="mumemto",
+        description="mumemto - find maximal [unique | exact] matches using PFP.")
+    ap.add_argument("files", nargs="*", help="input FASTA files")
+    ap.add_argument("-i", "--input", dest="input_list", default="",
+                    help="path to a file-list of genomes (overrides positional args)")
+    ap.add_argument("-o", "--output", dest="output_prefix", default="output",
+                    help="output prefix path")
+    ap.add_argument("-r", "--no-revcomp", dest="use_rcomp", action="store_false",
+                    help="do not include the reverse complement")
+    ap.add_argument("-b", "--binary", action="store_true",
+                    help="output binary format (multi-MUMs only)")
+    ap.add_argument("-A", "--arrays-out", action="store_true",
+                    help="write LCP, BWT, and SA to file")
+    ap.add_argument("-a", "--arrays-in", default="",
+                    help="compute matches from precomputed arrays (PREFIX.bwt/sa/lcp)")
+    ap.add_argument("-M", "--merge", action="store_true",
+                    help="output extra metadata to enable merging multi-MUMs")
+    ap.add_argument("-n", "--anchor", dest="anchor_merge", action="store_true",
+                    help="use anchor-based merging (requires -M)")
+    ap.add_argument("-l", "--min-match-len", type=int, default=20)
+    ap.add_argument("-k", "--minimum-genomes", dest="num_distinct_docs",
+                    type=int, default=0)
+    ap.add_argument("-f", "--per-seq-freq", dest="rare_freq", type=int, default=1)
+    ap.add_argument("-F", "--max-total-freq", dest="max_mem_freq", type=int,
+                    default=0)
+    ap.add_argument("-w", "--window", dest="pfp_w", type=int, default=10)
+    ap.add_argument("-m", "--modulus", dest="hash_mod", type=int, default=100)
+    ap.add_argument("-p", "--from-parse", dest="parse_prefix", default="")
+    ap.add_argument("-K", "--keep-temp-files", action="store_true")
+    ap.add_argument("-g", "--use-gsacak", action="store_true",
+                    help="use the direct suffix-array backend (no PFP)")
+    ap.add_argument("-P", "--only-parse", action="store_true")
+    ap.add_argument("-s", "--no-overlap", dest="overlap", action="store_false",
+                    help=argparse.SUPPRESS)  # parsed but unused (legacy)
+    ap.add_argument("--version", action="version", version=VERSION)
+    return ap
+
+
+def read_filelist(path: str) -> list:
+    files = []
+    with open(path) as f:
+        for line in f:
+            words = line.split()
+            if words:
+                files.append(words[0])
+    return files
+
+
+def build_main(argv) -> int:
+    from mumemto_tpu import engine, options, refbuilder
+
+    args = build_argparser().parse_args(argv)
+    if args.input_list:
+        if args.files:
+            print("[build_main] Using filelist, ignoring positional args",
+                  file=sys.stderr)
+        files = read_filelist(args.input_list)
+    else:
+        files = args.files
+
+    if not files and not args.arrays_in:
+        print("Error: Need to provide a file-list or files as positional args "
+              "for processing.", file=sys.stderr)
+        return 1
+
+    if args.arrays_in:
+        rb = refbuilder.build_from_lengths(args.arrays_in,
+                                           use_revcomp=args.use_rcomp)
+        opts = options.normalize(
+            rb.num_docs, min_match_len=args.min_match_len,
+            num_distinct_docs=args.num_distinct_docs, rare_freq=args.rare_freq,
+            max_mem_freq=args.max_mem_freq, use_revcomp=args.use_rcomp,
+            merge=args.merge, anchor_merge=args.anchor_merge, binary=args.binary)
+        from mumemto_tpu import formats
+        sa = formats.read_5byte(args.arrays_in + ".sa").astype(np.int64)
+        lcp = formats.read_5byte(args.arrays_in + ".lcp").astype(np.int64)
+        bwt = formats.read_rl_bwt(args.arrays_in + ".bwt")
+        da = rb.doc_array(sa)
+        results = engine.find_matches_from_arrays(sa, lcp, bwt, da, rb, opts)
+        engine.write_outputs(results, rb, args.output_prefix)
+        print(f"[build_main] {results.num_matches} matches found", file=sys.stderr)
+        return 0
+
+    rb = refbuilder.build_from_files(files, use_revcomp=args.use_rcomp)
+    rb.write_lengths_file(args.output_prefix)
+    opts = options.normalize(
+        rb.num_docs, min_match_len=args.min_match_len,
+        num_distinct_docs=args.num_distinct_docs, rare_freq=args.rare_freq,
+        max_mem_freq=args.max_mem_freq, use_revcomp=args.use_rcomp,
+        merge=args.merge, anchor_merge=args.anchor_merge, binary=args.binary)
+
+    if args.only_parse:
+        from mumemto_tpu.ops import pfp as ops_pfp
+        ops_pfp.write_parse_files(rb, args.output_prefix, w=args.pfp_w,
+                                  mod=args.hash_mod)
+        return 0
+
+    if args.arrays_out:
+        arrs = engine.compute_arrays(rb)
+        sa, lcp, bwt, da = arrs
+        n_real = rb.text.size
+        # real rows only (pad rows carry no information)
+        real = sa < n_real
+        from mumemto_tpu import formats
+        formats.write_5byte(args.output_prefix + ".sa", sa[real].astype(np.uint64))
+        formats.write_5byte(args.output_prefix + ".lcp", lcp[real].astype(np.uint64))
+        formats.write_rl_bwt(args.output_prefix + ".bwt", bwt[real])
+        results = engine.find_matches_from_arrays(*arrs, rb, opts)
+    else:
+        results = engine.find_matches(rb, opts)
+    engine.write_outputs(results, rb, args.output_prefix)
+    print(f"[build_main] {results.num_matches} matches found", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "mori":
+        print(SKULL)
+        return 0
+    if argv and argv[0] == "--version":
+        print(VERSION)
+        return 0
+    if argv and argv[0] in SUBCOMMANDS:
+        sub, rest = argv[0], argv[1:]
+        from mumemto_tpu.analysis import dispatch
+        return dispatch.run(sub, rest)
+    return build_main(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

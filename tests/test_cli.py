@@ -1,0 +1,86 @@
+import gzip
+
+import numpy as np
+import pytest
+
+from mumemto_tpu import cli, formats
+from mumemto_tpu.analysis import dispatch
+from tests.conftest import mutated_collection
+
+
+@pytest.fixture
+def fasta_dir(rng, tmp_path):
+    docs = mutated_collection(rng, 3)
+    paths = []
+    for i, d in enumerate(docs):
+        p = tmp_path / f"g{i}.fa"
+        p.write_text(f">s{i}\n{d[0]}\n")
+        paths.append(str(p))
+    return tmp_path, paths
+
+
+def test_build_and_subcommands(fasta_dir, capsys):
+    tmp_path, paths = fasta_dir
+    out = str(tmp_path / "out")
+    assert cli.main(paths + ["-o", out]) == 0
+    mums = (tmp_path / "out.mums").read_bytes()
+    assert mums
+    assert (tmp_path / "out.lengths").exists()
+
+    # convert -> bumbl -> view round trip
+    assert cli.main(["convert", "-m", out + ".mums", "-o", out + ".bumbl"]) == 0
+    L, S, T, B, flags = formats.parse_bumbl(out + ".bumbl")
+    assert len(L) == mums.count(b"\n")
+    assert cli.main(["view", out + ".bumbl"]) == 0
+    shown = capsys.readouterr().out
+    assert len(shown.splitlines()) == len(L)
+
+    # collinear
+    assert cli.main(["collinear", "-m", out + ".mums",
+                     "-o", out + "_blocks.mums"]) == 0
+    lines = (tmp_path / "out_blocks.mums").read_text().splitlines()
+    assert all(len(l.split("\t")) == 4 for l in lines)
+
+    # coverage
+    assert cli.main(["coverage", "-m", out + ".mums",
+                     "-l", out + ".lengths"]) == 0
+
+    # extract
+    assert cli.main(["extract", "-m", out + ".mums",
+                     "-o", str(tmp_path / "x.fa")]) == 0
+    fa = (tmp_path / "x.fa").read_text()
+    assert fa.startswith(">mum_0")
+    assert fa.count(">") == len(L)
+
+    # lengths
+    assert cli.main(["lengths"] + paths + ["-o", str(tmp_path / "lens")]) == 0
+    info = formats.parse_lengths(str(tmp_path / "lens.lengths"))
+    assert len(info.paths) == 3
+
+
+def test_build_filelist_and_binary(fasta_dir):
+    tmp_path, paths = fasta_dir
+    fl = tmp_path / "filelist.txt"
+    fl.write_text("\n".join(paths) + "\n")
+    out = str(tmp_path / "outb")
+    assert cli.main(["-i", str(fl), "-o", out, "-b"]) == 0
+    L, S, T, B, flags = formats.parse_bumbl(out + ".bumbl")
+    assert len(L) > 0
+    assert not (flags & formats.FLAG_PARTIAL)
+
+
+def test_build_gzip_input(rng, tmp_path):
+    docs = mutated_collection(rng, 2)
+    p1 = tmp_path / "a.fa"
+    p1.write_text(f">a\n{docs[0][0]}\n")
+    p2 = tmp_path / "b.fa.gz"
+    with gzip.open(p2, "wt") as f:
+        f.write(f">b\n{docs[1][0]}\n")
+    out = str(tmp_path / "gz")
+    assert cli.main([str(p1), str(p2), "-o", out]) == 0
+    assert (tmp_path / "gz.mums").read_bytes()
+
+
+def test_mori(capsys):
+    assert cli.main(["mori"]) == 0
+    assert "," in capsys.readouterr().out
