@@ -88,17 +88,30 @@ def _doc_metadata(rb, opts):
     return doc_offsets, doc_lens
 
 
-def find_matches(rb, opts: MatchOptions) -> MatchResults:
-    """Full fused pipeline on one collection (device-side compaction)."""
-    n_real = int(rb.text.size)
-    n = pad_size(n_real, min_pad=2)
-    text = np.zeros(n, dtype=np.uint8)
-    text[:n_real] = rb.text
-    res, counts = ops_pipeline.scan_collection(
-        jnp.asarray(text), jnp.asarray(rb.doc_ends, dtype=jnp.int32),
-        n, rb.num_docs,
-        jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
-        jnp.int32(opts.max_total_freq), opts.max_doc_freq)
+def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
+                 pfp_w: int = 10, pfp_mod: int = 100) -> MatchResults:
+    """Full fused pipeline on one collection (device-side compaction).
+
+    backend: "pfp" (default, mirrors the reference's PFP path) or "direct"
+    (full-text prefix doubling, the reference's -g gsacak path).
+    """
+    if backend == "pfp":
+        from mumemto_tpu.ops import pfp as ops_pfp
+        res, counts, n = ops_pfp.scan_collection_pfp(
+            rb.text, rb.doc_ends, rb.num_docs,
+            jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
+            jnp.int32(opts.max_total_freq), opts.max_doc_freq,
+            w=pfp_w, mod=pfp_mod)
+    else:
+        n_real = int(rb.text.size)
+        n = pad_size(n_real, min_pad=2)
+        text = np.zeros(n, dtype=np.uint8)
+        text[:n_real] = rb.text
+        res, counts = ops_pipeline.scan_collection(
+            jnp.asarray(text), jnp.asarray(rb.doc_ends, dtype=jnp.int32),
+            n, rb.num_docs,
+            jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
+            jnp.int32(opts.max_total_freq), opts.max_doc_freq)
     n_emit, n_cand = (int(x) for x in np.asarray(counts))
 
     results = MatchResults(opts=opts, num_docs=rb.num_docs)

@@ -1,0 +1,546 @@
+"""Prefix-free parsing pipeline: text -> PFP -> SA-row stream, sort-centric.
+
+TPU-first re-design of the reference PFP stack (include/newscan.hpp,
+dictionary.hpp, parse.hpp, pfp.hpp, pfp_lcp_mum.hpp). The reference streams
+SA rows from the PFP with a priority-queue merge and per-row RMQs; here the
+same math becomes array programs:
+
+  1. parse      rolling window hash over the text (vectorized polynomial
+                hash), break where hash % mod == 0 (newscan.hpp:310-325).
+                Hash function differs from the reference's Karp-Rabin
+                (uint32 odd-multiplier polynomial instead of mod-p): phrase
+                boundaries are an internal representation choice — the final
+                SA/LCP/match output is provably independent of the parse.
+  2. dictionary unique phrases sorted lexicographically via a chunked
+                multi-round lax.sort (replaces std::sort + hash dedup).
+  3. parse SA   prefix doubling over the integer parse (m ~ n/mod elements),
+                replacing sacak_int (parse.hpp:85).
+  4. dict SA    prefix doubling over the dictionary string D (|D| << n for
+                repetitive collections), replacing gsacak (dictionary.hpp:133).
+  5. expansion  every text suffix = (valid dict suffix alpha, occurrence);
+                SA order = sort by (group id of alpha, ISA_P[next parse
+                position]) — ONE n-row 2-key sort replaces the heap merge
+                (pfp_lcp_mum.hpp:151-212). LCPs from dict-LCP range minima
+                (cross-group) and s_lcp_T range minima (within group,
+                pfp_lcp_mum.hpp:284-321), both O(1) RMQs into small tables.
+
+Padding convention: expanded row arrays are bucketed; pad rows get sort key
+-1 so they land at the FRONT of the row stream with LCP 0 and doc id
+num_docs — provably inert for the interval scan (mirrors the zero-padding
+argument in ops/suffix.py; front placement preserves the reference's
+"intervals still open at end-of-stream are dropped" semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mumemto_tpu.ops import intervals as ops_intervals
+from mumemto_tpu.ops import suffix as ops_suffix
+
+DOLLAR_PFP = 2   # artificial phrase decoration char (common.hpp:54)
+SEP = 1          # EndOfWord (dict phrase separator)
+TERM = 0         # EndOfDict / parse terminator
+
+HASH_BASE = np.uint32(0x9E3779B1)  # odd multiplier; full period mod 2^32
+
+
+def bucket(n: int, lo: int = 1024) -> int:
+    n = max(n, lo)
+    p = 1 << (n - 1).bit_length()
+    if p // 2 + p // 4 >= n:
+        return p // 2 + p // 4
+    return p
+
+
+# ---------------------------------------------------------------------------
+# 1. parse: window hash + breaks
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("w", "mod", "n"))
+def _break_mask(text: jax.Array, w: int, mod: int, n: int) -> jax.Array:
+    """mask[i] = window ending at i triggers a phrase break."""
+    t = text.astype(jnp.uint32)
+    h = jnp.zeros((n,), jnp.uint32)
+    power = jnp.uint32(1)
+    for k in range(w):  # term for char at offset i-k, weight BASE^k
+        shifted = t if k == 0 else jnp.concatenate(
+            [jnp.zeros((k,), jnp.uint32), t[:-k]])
+        h = h + shifted * power
+        power = power * HASH_BASE
+    idx = jnp.arange(n, dtype=jnp.int32)
+    return (h % jnp.uint32(mod) == 0) & (idx >= w - 1)
+
+
+def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
+    """Break positions (indices of window-end chars) in text coords."""
+    n = text_np.size
+    nb = bucket(n)
+    padded = np.zeros(nb, dtype=np.uint8)
+    padded[:n] = text_np
+    mask = np.array(_break_mask(jnp.asarray(padded), w, mod, nb))
+    mask[n:] = False
+    # a break on the very last char would make the final phrase exactly the
+    # w-overlap + w dollars; that is fine — but a break at i = n-1 followed
+    # by the mandatory final phrase works naturally. No special-casing.
+    return np.flatnonzero(mask).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# 2. dictionary: chunked lexicographic phrase sort + dedup
+# ---------------------------------------------------------------------------
+
+_CHARS_PER_KEY = 3
+_KEYS_PER_ROUND = 4
+_CHARS_PER_ROUND = _CHARS_PER_KEY * _KEYS_PER_ROUND
+
+
+@functools.partial(jax.jit, static_argnames=("m", "ne"))
+def _phrase_sort_round(ext, st, ln, order, grp, off, m: int, ne: int):
+    """One round: refine `order`/`grp` by the next _CHARS_PER_ROUND chars."""
+    rec_st = jnp.take(st, order)
+    rec_ln = jnp.take(ln, order)
+    keys = []
+    for k in range(_KEYS_PER_ROUND):
+        key = jnp.zeros((m,), jnp.int32)
+        for c in range(_CHARS_PER_KEY):
+            pos = off + k * _CHARS_PER_KEY + c
+            ch = jnp.take(ext, jnp.clip(rec_st + pos, 0, ne - 1))
+            ch = jnp.where(pos < rec_ln, ch.astype(jnp.int32) + 1, 0)
+            key = key * 257 + ch
+        keys.append(key)
+    op = (grp, *keys, order)
+    out = jax.lax.sort(op, num_keys=1 + _KEYS_PER_ROUND)
+    g2, *ks2, order2 = out
+    diff = jnp.zeros((m,), bool).at[0].set(True)
+    prev_all_eq = jnp.ones((m - 1,), bool)
+    for a in (g2, *ks2):
+        prev_all_eq = prev_all_eq & (a[1:] == a[:-1])
+    diff = diff.at[1:].set(~prev_all_eq)
+    new_grp = jnp.cumsum(diff.astype(jnp.int32)) - 1
+    # a tie remains if some adjacent pair is fully equal AND not yet past
+    # both records' ends
+    len2 = jnp.take(ln, order2)
+    unresolved = prev_all_eq & (
+        (len2[1:] > off + _CHARS_PER_ROUND) | (len2[:-1] > off + _CHARS_PER_ROUND))
+    return order2, new_grp, unresolved.sum(dtype=jnp.int32)
+
+
+def sort_phrases(ext_dev, st_np, ln_np, ne: int):
+    """Lex-sort phrase records; returns (order, grp) as numpy.
+
+    grp is the 0-based rank group in sorted order; equal phrases share grp.
+    """
+    m = st_np.size
+    mb = bucket(m, lo=64)
+    st = np.full(mb, ne - 1, np.int32)
+    ln = np.zeros(mb, np.int32)
+    st[:m] = st_np
+    ln[:m] = ln_np
+    # pad records have length 0 -> all-equal keys; they sort first as one
+    # group (empty string), real phrases have length >= w+1 > 0
+    st_d = jnp.asarray(st)
+    ln_d = jnp.asarray(ln)
+    order = jnp.arange(mb, dtype=jnp.int32)
+    grp = jnp.zeros(mb, jnp.int32)
+    off = 0
+    maxlen = int(ln_np.max())
+    while True:
+        order, grp, ties = _phrase_sort_round(
+            ext_dev, st_d, ln_d, order, grp, jnp.int32(off), mb, ne)
+        off += _CHARS_PER_ROUND
+        if int(ties) == 0 or off >= maxlen:
+            break
+    order = np.asarray(order)
+    grp = np.asarray(grp)
+    # strip pads (they form the first group: length-0 records)
+    real = np.asarray(ln)[order] > 0
+    order = order[real]
+    grp = grp[real]
+    grp = grp - grp[0]  # renumber from 0
+    return order, grp
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _segmented_min_after_valid(lcp: jax.Array, valid: jax.Array) -> jax.Array:
+    """out[i] = min(lcp[j]) over j in (prev_valid_row(i), i] — running min
+    resetting AFTER each valid row (associative segmented scan)."""
+    seg_start = jnp.concatenate([jnp.ones((1,), bool), valid[:-1]])
+
+    def combine(a, b):
+        amin, aflag = a
+        bmin, bflag = b
+        return (jnp.where(bflag, bmin, jnp.minimum(amin, bmin)),
+                aflag | bflag)
+
+    out, _ = jax.lax.associative_scan(combine, (lcp, seg_start))
+    return out
+
+
+def _rmq_prepare(values: jax.Array):
+    """Sparse min table for O(1) two-window range-min queries."""
+    return ops_intervals._sparse_min_table(values)
+
+
+def _rmq_query(table, lo, hi):
+    """min(values[lo..hi]) inclusive, lo <= hi, vectorized O(1)."""
+    n = table[0].shape[0]
+    length = hi - lo + 1
+    lvl = jnp.int32(jnp.log2(jnp.maximum(length, 1).astype(jnp.float32)))
+    lvl = jnp.where((jnp.int32(1) << lvl) > length, lvl - 1, lvl)
+    lvl = jnp.clip(lvl, 0, len(table) - 1)
+    width = jnp.int32(1) << lvl
+    stack = jnp.stack([t for t in table])  # (L+1, n)
+    a = stack[lvl, jnp.clip(lo, 0, n - 1)]
+    b = stack[lvl, jnp.clip(hi - width + 1, 0, n - 1)]
+    return jnp.minimum(a, b)
+
+
+# ---------------------------------------------------------------------------
+# main pipeline
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PFPData:
+    """Host-side metadata + device arrays for one parsed collection."""
+    w: int
+    n_text: int
+    m: int                 # number of parse entries
+    num_phrases: int       # unique phrases
+    d_len: int             # dictionary string length
+    ext: jax.Array         # [2] + text + [2]*w (uint8)
+    parse: np.ndarray      # phrase ids (1-based), length m
+    phrase_st: np.ndarray  # ext start per unique phrase id (1-based index 0 unused)
+    phrase_ln: np.ndarray  # char length per unique phrase id
+    tstart: np.ndarray     # text start of each parse occurrence
+
+
+def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
+    n_text = int(text_np.size)
+    ext_np = np.concatenate([
+        np.full(1, DOLLAR_PFP, np.uint8), text_np,
+        np.full(w, DOLLAR_PFP, np.uint8)])
+    ne = bucket(ext_np.size)
+    ext_pad = np.zeros(ne, np.uint8)
+    ext_pad[:ext_np.size] = ext_np
+    ext = jnp.asarray(ext_pad)
+
+    breaks = compute_breaks(text_np, w, mod)  # text coords
+    k = breaks.size
+    m = k + 1
+    # phrase records in ext coords (inclusive end)
+    st = np.empty(m, np.int32)
+    en = np.empty(m, np.int32)
+    st[0] = 0
+    if k:
+        st[1:] = breaks - w + 2
+        en[:-1] = breaks + 1
+    en[-1] = n_text + w
+    ln = en - st + 1
+
+    order, grp = sort_phrases(ext, st, ln, ne)
+    num_phrases = int(grp[-1]) + 1 if order.size else 0
+    # unique phrase reps (first record of each group in sorted order)
+    first = np.concatenate([[True], grp[1:] != grp[:-1]])
+    rep = order[first]
+    phrase_st = np.zeros(num_phrases + 1, np.int32)
+    phrase_ln = np.zeros(num_phrases + 1, np.int32)
+    phrase_st[1:] = st[rep]
+    phrase_ln[1:] = ln[rep]
+    # parse ids per original record
+    parse = np.zeros(m, np.int32)
+    parse[order] = grp + 1
+
+    tstart = np.empty(m, np.int64)
+    tstart[0] = -1
+    if k:
+        tstart[1:] = (breaks - w + 1).astype(np.int64)
+
+    return PFPData(w=w, n_text=n_text, m=m, num_phrases=num_phrases,
+                   d_len=int(phrase_ln.sum()) + num_phrases + 1,
+                   ext=ext, parse=parse, phrase_st=phrase_st,
+                   phrase_ln=phrase_ln, tstart=tstart)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "ne"))
+def _build_dict_string(ext, phrase_st, phrase_ln, d_starts, nd: int, ne: int):
+    """Materialize D = concat(sorted phrases + SEP) + TERM (padded to nd)."""
+    npz = phrase_st.shape[0] - 1  # phrases are 1..npz
+    total = d_starts[npz] + phrase_ln[npz] + 1  # end of last block incl. SEP
+    pos = jnp.arange(nd, dtype=jnp.int32)
+    pid = jnp.searchsorted(d_starts[1:] + phrase_ln[1:] + 1, pos,
+                           side="right") + 1  # which phrase block
+    pid = jnp.clip(pid, 1, npz)
+    off = pos - jnp.take(d_starts, pid)
+    in_phrase = off < jnp.take(phrase_ln, pid)
+    src = jnp.take(phrase_st, pid) + off
+    ch = jnp.take(ext, jnp.clip(src, 0, ne - 1))
+    d = jnp.where(in_phrase, ch, jnp.uint8(SEP))
+    d = jnp.where(pos >= total, jnp.uint8(TERM), d)  # TERM at total, 0-pad after
+    return d
+
+
+def _dict_starts(phrase_ln: np.ndarray) -> np.ndarray:
+    """Start offset in D per phrase id (1-based); D blocks are len+1 (SEP)."""
+    npz = phrase_ln.size - 1
+    starts = np.zeros(npz + 1, np.int64)
+    starts[1:] = np.cumsum(phrase_ln[1:] + 1) - (phrase_ln[1:] + 1)
+    return starts.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "w"))
+def _dict_groups(d, saD, lcpD, pos_phrase, pos_off, phrase_ln_by_pos,
+                 nd: int, w: int):
+    """Group valid dict suffixes (same string across phrases).
+
+    Returns per-D-SA-row: valid mask, group id (on valid rows), cross-group
+    lcp (reset-scan min), suffix length, and the bwt char per valid position.
+    """
+    ph = jnp.take(pos_phrase, saD)          # phrase id of suffix start
+    off = jnp.take(pos_off, saD)            # offset within phrase
+    plen = jnp.take(phrase_ln_by_pos, saD)  # phrase char length
+    suf_len = plen - off
+    valid = (ph > 0) & (off >= 1) & (suf_len >= w)
+
+    gapmin = _segmented_min_after_valid(lcpD, valid)
+
+    # previous VALID row's suffix length: index of last valid row before i
+    # via cummax, then one gather (parallel forward-fill)
+    idx = jnp.arange(nd, dtype=jnp.int32)
+    last_valid = jax.lax.cummax(jnp.where(valid, idx, -1))
+    prev_valid_idx = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                      last_valid[:-1]])
+    prev_len = jnp.where(prev_valid_idx >= 0,
+                         jnp.take(suf_len, jnp.maximum(prev_valid_idx, 0)),
+                         -1)
+    same = valid & (gapmin >= suf_len) & (prev_len == suf_len)
+    new_group = valid & ~same
+    grp_of_row = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # valid rows only
+    cross = jnp.where(new_group, gapmin, 0)
+    return valid, grp_of_row, cross, suf_len, new_group
+
+
+def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
+             min_match_len, num_distinct, max_total_freq, max_doc_freq: int):
+    """Full PFP expansion + interval scan; returns (res, counts, n_rows_pad)
+    compatible with ops/pipeline compaction."""
+    w = pfp.w
+    # --- dictionary string + SA/LCP
+    d_starts = _dict_starts(pfp.phrase_ln)
+    nd = bucket(pfp.d_len)
+    d = _build_dict_string(pfp.ext, jnp.asarray(pfp.phrase_st),
+                           jnp.asarray(pfp.phrase_ln),
+                           jnp.asarray(d_starts), nd, pfp.ext.shape[0])
+    saD, histD, lvlD = ops_suffix._suffix_array_impl(d, nd)
+    lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd)
+
+    # position -> (phrase, offset) tables over D coords
+    npz = pfp.num_phrases
+    pos = np.arange(nd, dtype=np.int64)
+    blk_end = (d_starts[1:].astype(np.int64) + pfp.phrase_ln[1:] + 1)
+    pid_by_pos = np.searchsorted(blk_end, pos, side="right") + 1
+    inside = pid_by_pos <= npz
+    pid_by_pos = np.where(inside, pid_by_pos, 0).astype(np.int32)
+    off_by_pos = np.where(
+        inside, pos - d_starts[np.minimum(pid_by_pos, npz)], 0).astype(np.int32)
+    # exclude separator char itself (off == len) and anything past
+    plen_by_pos = pfp.phrase_ln[np.minimum(pid_by_pos, npz)].astype(np.int32)
+    good = inside & (off_by_pos < plen_by_pos)
+    pid_by_pos = np.where(good, pid_by_pos, 0).astype(np.int32)
+
+    plen_of_pos = pfp.phrase_ln.astype(np.int32)[np.minimum(pid_by_pos, npz)]
+    valid, grp_of_row, cross, suf_len_row, new_group = _dict_groups(
+        d, saD, lcpD, jnp.asarray(pid_by_pos), jnp.asarray(off_by_pos),
+        jnp.asarray(plen_of_pos), nd, w)
+
+    # group tables
+    valid_np = np.asarray(valid)
+    grp_np = np.asarray(grp_of_row)
+    cross_np = np.asarray(cross)
+    saD_np = np.asarray(saD)
+    n_groups = int(grp_np[valid_np].max()) + 1 if valid_np.any() else 0
+    ng = bucket(n_groups, lo=64)
+    grp_cross = np.zeros(ng, np.int32)
+    newg_np = np.asarray(new_group)
+    grp_cross[grp_np[newg_np]] = cross_np[newg_np]
+    if n_groups:
+        first_valid_row = np.flatnonzero(newg_np)[0]
+        grp_cross[grp_np[first_valid_row]] = 0  # j==0 -> lcp 0
+    # group id per D position
+    grp_of_pos = np.full(nd, -1, np.int32)
+    grp_of_pos[saD_np[valid_np]] = grp_np[valid_np]
+
+    # --- parse SA over P' = parse + [0]
+    m = pfp.m
+    mp = bucket(m + 1, lo=64)
+    pprime = np.zeros(mp, np.int32)
+    pprime[:m] = pfp.parse
+    saP, histP, lvlP = ops_suffix._suffix_array_impl(jnp.asarray(pprime), mp)
+    klcp = ops_suffix._lcp_impl(saP, histP, lvlP, mp)  # phrase-count lcp
+    isaP = np.zeros(mp, np.int32)
+    isaP[np.asarray(saP)] = np.arange(mp, dtype=np.int32)
+
+    # --- s_lcp_T equivalent over parse-SA adjacency
+    charlen = np.zeros(mp + 1, np.int64)
+    charlen[:m] = pfp.phrase_ln[pfp.parse] - w
+    cumC = np.concatenate([[0], np.cumsum(charlen)]).astype(np.int64)
+    slt = _build_slt(jnp.asarray(pprime), saP, klcp, jnp.asarray(cumC),
+                     jnp.asarray(d_starts), lcpD,
+                     jnp.asarray(_isa_from(saD_np, nd)), mp, nd)
+    # mask SLT rows beyond the real m+1 suffixes: pad positions of P'
+    # (zeros) sort to the very front together with the terminator; their
+    # adjacency lcps are 0 anyway since charlen/cumC are 0 there.
+    slt_table = _rmq_prepare(slt)
+
+    # --- expand rows
+    cnt = (pfp.phrase_ln[pfp.parse] - w).astype(np.int64)
+    n_rows = int(cnt.sum())
+    nr = bucket(n_rows)
+    res, counts = _expand_and_analyze(
+        jnp.asarray(pfp.parse), jnp.asarray(pfp.tstart.astype(np.int32)),
+        jnp.asarray(pfp.phrase_ln), jnp.asarray(d_starts),
+        jnp.asarray(np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)),
+        jnp.asarray(isaP), jnp.asarray(grp_of_pos), d,
+        slt_table, lcpD, jnp.asarray(_isa_from(saD_np, nd)),
+        jnp.asarray(grp_cross),
+        jnp.asarray(doc_ends.astype(np.int32)),
+        m, nr, nd, pfp.n_text, w, num_docs,
+        jnp.int32(min_match_len), jnp.int32(num_distinct),
+        jnp.int32(max_total_freq), max_doc_freq)
+    return res, counts, nr
+
+
+def _isa_from(sa_np: np.ndarray, n: int) -> np.ndarray:
+    isa = np.zeros(n, np.int32)
+    isa[sa_np] = np.arange(n, dtype=np.int32)
+    return isa
+
+
+@functools.partial(jax.jit, static_argnames=("mp", "nd"))
+def _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
+    """SLT[r] = char-LCP of text suffixes at phrase starts of parse-SA rows
+    r-1, r (the reference's s_lcp_T, pfp.hpp:210-244)."""
+    a = jnp.concatenate([saP[:1], saP[:-1]])
+    b = saP
+    k = klcp
+    c = jnp.take(cumC, jnp.clip(a + k, 0, mp)) - jnp.take(cumC, jnp.clip(a, 0, mp))
+    x = jnp.take(pprime, jnp.clip(a + k, 0, mp - 1))
+    y = jnp.take(pprime, jnp.clip(b + k, 0, mp - 1))
+    xr = jnp.take(isaD, jnp.take(d_starts, x))
+    yr = jnp.take(isaD, jnp.take(d_starts, y))
+    lo = jnp.minimum(xr, yr) + 1
+    hi = jnp.maximum(xr, yr)
+    tab = ops_intervals._sparse_min_table(lcpD)
+    pair = _rmq_query(tab, lo, hi)
+    pair = jnp.where((x == 0) | (y == 0) | (x == y), 0, pair)
+    slt = (c + pair).astype(jnp.int32)
+    return slt.at[0].set(0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "nr", "nd", "n_text", "w", "num_docs",
+                     "max_doc_freq"))
+def _expand_and_analyze(parse, tstart, phrase_ln, d_starts, cumcnt, isaP,
+                        grp_of_pos, d, slt_table, lcpD, isaD, grp_cross,
+                        doc_ends, m: int, nr: int, nd: int, n_text: int,
+                        w: int, num_docs: int,
+                        min_match_len, num_distinct, max_total_freq,
+                        max_doc_freq: int):
+    """Expand (occurrence, offset) rows, sort into SA order, compute LCP,
+    and run the interval analysis."""
+    r = jnp.arange(nr, dtype=jnp.int32)
+    occ = jnp.searchsorted(cumcnt[1:m + 1], r, side="right").astype(jnp.int32)
+    occ = jnp.minimum(occ, m - 1)
+    pad = r >= cumcnt[m]
+    o = r - jnp.take(cumcnt, occ) + 1
+    pid = jnp.take(parse, occ)
+    dictpos = jnp.take(d_starts, pid) + o
+    suf_len = jnp.take(phrase_ln, pid) - o
+    ssa = jnp.minimum(jnp.take(tstart, occ) + o, n_text)
+
+    key1 = jnp.where(pad, -1, jnp.take(grp_of_pos, jnp.clip(dictpos, 0, nd - 1)))
+    key2 = jnp.where(pad, 0, jnp.take(isaP, jnp.clip(occ + 1, 0, isaP.shape[0] - 1)))
+    bwt = jnp.where(pad, 0,
+                    jnp.take(d, jnp.clip(dictpos - 1, 0, nd - 1)).astype(jnp.int32))
+
+    key1s, key2s, ssas, sufs, bwts = jax.lax.sort(
+        (key1, key2, ssa, suf_len, bwt), num_keys=2)
+
+    same_grp = jnp.concatenate([
+        jnp.zeros((1,), bool), key1s[1:] == key1s[:-1]])
+    prev_key2 = jnp.concatenate([key2s[:1], key2s[:-1]])
+    within = sufs - w + _rmq_query(slt_table,
+                                   jnp.minimum(prev_key2, key2s) + 1,
+                                   jnp.maximum(prev_key2, key2s))
+    cross = jnp.take(grp_cross, jnp.clip(key1s, 0, grp_cross.shape[0] - 1))
+    lcp = jnp.where(same_grp, within, cross)
+    lcp = jnp.where(key1s < 0, 0, lcp).astype(jnp.int32)
+    lcp = lcp.at[0].set(0)
+    # boundary: first real row after pads gets lcp 0 (cross of first group=0)
+
+    da = jnp.minimum(jnp.searchsorted(doc_ends, ssas, side="right"),
+                     num_docs).astype(jnp.int32)
+    da = jnp.where(key1s < 0, num_docs, da)
+
+    res = ops_intervals.analyze_intervals(
+        lcp, da, bwts.astype(jnp.uint8), nr,
+        min_match_len, num_distinct, max_total_freq, max_doc_freq)
+    res["sa"] = ssas
+    res["da"] = da
+    res["lcp"] = lcp
+    counts = jnp.stack([res["emit"].sum(dtype=jnp.int32),
+                        res["cand"].sum(dtype=jnp.int32)])
+    return res, counts
+
+
+def scan_collection_pfp(text_np: np.ndarray, doc_ends: np.ndarray,
+                        num_docs: int, min_match_len, num_distinct,
+                        max_total_freq, max_doc_freq: int,
+                        w: int = 10, mod: int = 100):
+    """Drop-in alternative to ops/pipeline.scan_collection via PFP."""
+    pfp = build_pfp(text_np, w=w, mod=mod)
+    return pfp_scan(pfp, doc_ends, num_docs, min_match_len, num_distinct,
+                    max_total_freq, max_doc_freq)
+
+
+# ---------------------------------------------------------------------------
+# .dict/.parse resume files (newscan.hpp:407-419 format)
+# ---------------------------------------------------------------------------
+
+def write_parse_files(rb, prefix: str, w: int = 10, mod: int = 100) -> None:
+    """-P/--only-parse: write .dict (phrases + EndOfWord each + EndOfDict)
+    and .parse (u32 ranks)."""
+    pfp = build_pfp(rb.text, w=w, mod=mod)
+    d_starts = _dict_starts(pfp.phrase_ln)
+    nd = bucket(pfp.d_len)
+    d = np.asarray(_build_dict_string(
+        pfp.ext, jnp.asarray(pfp.phrase_st), jnp.asarray(pfp.phrase_ln),
+        jnp.asarray(d_starts), nd, pfp.ext.shape[0]))
+    with open(prefix + ".dict", "wb") as f:
+        f.write(d[:pfp.d_len].tobytes())
+    with open(prefix + ".parse", "wb") as f:
+        f.write(pfp.parse.astype("<u4").tobytes())
+
+
+def read_parse_files(prefix: str):
+    """Load .dict/.parse (either ours or reference-written) back into the
+    (phrase strings, parse ids) representation."""
+    d = np.fromfile(prefix + ".dict", dtype=np.uint8)
+    parse = np.fromfile(prefix + ".parse", dtype="<u4").astype(np.int32)
+    # split D on EndOfWord separators; drop trailing EndOfDict
+    assert d[-1] == TERM
+    body = d[:-1]
+    seps = np.flatnonzero(body == SEP)
+    starts = np.concatenate([[0], seps[:-1] + 1])
+    lens = seps - starts
+    return body, starts.astype(np.int32), lens.astype(np.int32), parse
