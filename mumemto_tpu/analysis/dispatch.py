@@ -257,5 +257,17 @@ def run(sub: str, argv) -> int:
     if sub == "merge":
         from mumemto_tpu.analysis import merge
         return merge.run(argv)
+    if sub == "trim":
+        from mumemto_tpu.analysis import trim
+        return trim.run(argv)
+    if sub == "density":
+        from mumemto_tpu.analysis import density
+        return density.run(argv)
+    if sub == "tabix":
+        from mumemto_tpu.analysis import tabix
+        return tabix.run(argv)
+    if sub == "convert-thresh":
+        from mumemto_tpu.analysis import convert_thresh
+        return convert_thresh.run(argv)
     print(f"Unknown subcommand: {sub}", file=sys.stderr)
     return 1

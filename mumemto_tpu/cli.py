@@ -45,7 +45,8 @@ SKULL = r"""
 """
 
 SUBCOMMANDS = ("viz", "inversion", "coverage", "collinear", "convert", "view",
-               "extract", "label", "lengths", "merge", "bed", "mori")
+               "extract", "label", "lengths", "merge", "bed", "trim",
+               "density", "tabix", "convert-thresh", "mori")
 
 
 def build_argparser() -> argparse.ArgumentParser:
