@@ -68,6 +68,14 @@ def main():
     mbp = total_mbp  # input megabases (fwd strand, the reference's unit)
 
     log(f"[bench] text size {text.size/1e6:.1f} M chars (incl. revcomp)")
+    # tunnel warmup: the FIRST device->host transfer of a process pays a
+    # one-time multi-minute channel setup on the tunneled device; take that
+    # hit on 8 bytes before any timed work.
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+    np.asarray(jax.jit(lambda: jnp.zeros((2,), jnp.int32))())
+    log(f"[bench] transfer-channel warmup: {time.time() - t0:.2f}s")
     t0 = time.time()
     res = engine.find_matches(rb, opts)
     warm = time.time() - t0

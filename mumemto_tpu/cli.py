@@ -111,7 +111,7 @@ def build_main(argv) -> int:
     else:
         files = args.files
 
-    if not files and not args.arrays_in:
+    if not files and not args.arrays_in and not args.parse_prefix:
         print("Error: Need to provide a file-list or files as positional args "
               "for processing.", file=sys.stderr)
         return 1
@@ -132,6 +132,23 @@ def build_main(argv) -> int:
         results = engine.find_matches_from_arrays(sa, lcp, bwt, da, rb, opts)
         engine.write_outputs(results, rb, args.output_prefix)
         print(f"[build_main] {results.num_matches} matches found", file=sys.stderr)
+        return 0
+
+    if args.parse_prefix:
+        # -p/--from-parse: resume from PREFIX.dict/.parse (+ .lengths);
+        # pfp_mum.cpp:122-123, ref_builder.cpp:140-169
+        rb = refbuilder.build_from_lengths(args.parse_prefix,
+                                           use_revcomp=args.use_rcomp)
+        opts = options.normalize(
+            rb.num_docs, min_match_len=args.min_match_len,
+            num_distinct_docs=args.num_distinct_docs, rare_freq=args.rare_freq,
+            max_mem_freq=args.max_mem_freq, use_revcomp=args.use_rcomp,
+            merge=args.merge, anchor_merge=args.anchor_merge, binary=args.binary)
+        results = engine.find_matches(rb, opts, pfp_w=args.pfp_w,
+                                      parse_prefix=args.parse_prefix)
+        engine.write_outputs(results, rb, args.output_prefix)
+        print(f"[build_main] {results.num_matches} matches found",
+              file=sys.stderr)
         return 0
 
     rb = refbuilder.build_from_files(files, use_revcomp=args.use_rcomp)

@@ -89,13 +89,23 @@ def _doc_metadata(rb, opts):
 
 
 def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
-                 pfp_w: int = 10, pfp_mod: int = 100) -> MatchResults:
+                 pfp_w: int = 10, pfp_mod: int = 100,
+                 parse_prefix: str | None = None) -> MatchResults:
     """Full fused pipeline on one collection (device-side compaction).
 
     backend: "pfp" (default, mirrors the reference's PFP path) or "direct"
     (full-text prefix doubling, the reference's -g gsacak path).
+    parse_prefix: resume from PREFIX.dict/.parse instead of rb.text
+    (-p/--from-parse, pfp_mum.cpp:122-123).
     """
-    if backend == "pfp":
+    if parse_prefix:
+        from mumemto_tpu.ops import pfp as ops_pfp
+        pfp = ops_pfp.pfp_from_parse_files(parse_prefix, w=pfp_w)
+        res, counts, n = ops_pfp.pfp_scan(
+            pfp, rb.doc_ends, rb.num_docs,
+            jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
+            jnp.int32(opts.max_total_freq), opts.max_doc_freq)
+    elif backend == "pfp":
         from mumemto_tpu.ops import pfp as ops_pfp
         res, counts, n = ops_pfp.scan_collection_pfp(
             rb.text, rb.doc_ends, rb.num_docs,

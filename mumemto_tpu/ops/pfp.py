@@ -63,9 +63,9 @@ def bucket(n: int, lo: int = 1024) -> int:
 # 1. parse: window hash + breaks
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("w", "mod", "n"))
-def _break_mask(text: jax.Array, w: int, mod: int, n: int) -> jax.Array:
-    """mask[i] = window ending at i triggers a phrase break."""
+@functools.partial(jax.jit, static_argnames=("w", "mod", "n", "n_real"))
+def _break_mask(text: jax.Array, w: int, mod: int, n: int, n_real: int):
+    """mask[i] = window ending at i triggers a phrase break; also count."""
     t = text.astype(jnp.uint32)
     h = jnp.zeros((n,), jnp.uint32)
     power = jnp.uint32(1)
@@ -75,21 +75,40 @@ def _break_mask(text: jax.Array, w: int, mod: int, n: int) -> jax.Array:
         h = h + shifted * power
         power = power * HASH_BASE
     idx = jnp.arange(n, dtype=jnp.int32)
-    return (h % jnp.uint32(mod) == 0) & (idx >= w - 1)
+    mask = (h % jnp.uint32(mod) == 0) & (idx >= w - 1) & (idx < n_real)
+    return mask, mask.sum(dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "mb"))
+def _compact_breaks(mask: jax.Array, n: int, mb: int) -> jax.Array:
+    """Indices of mask=True, ascending, padded with n to mb entries.
+    One 1-operand device sort instead of an n-sized host readback."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mask, idx, jnp.int32(n))
+    return jax.lax.sort(key)[:mb]
 
 
 def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
-    """Break positions (indices of window-end chars) in text coords."""
+    """Break positions (indices of window-end chars) in text coords.
+
+    Device-side mask + compaction; the only host readbacks are the scalar
+    count and the O(#breaks) position array (device->host bandwidth through
+    the tunnel is the scarce resource, never move O(n) data).
+    """
     n = text_np.size
     nb = bucket(n)
     padded = np.zeros(nb, dtype=np.uint8)
     padded[:n] = text_np
-    mask = np.array(_break_mask(jnp.asarray(padded), w, mod, nb))
-    mask[n:] = False
+    mask, count = _break_mask(jnp.asarray(padded), w, mod, nb, n)
+    k = int(count)
     # a break on the very last char would make the final phrase exactly the
     # w-overlap + w dollars; that is fine — but a break at i = n-1 followed
     # by the mandatory final phrase works naturally. No special-casing.
-    return np.flatnonzero(mask).astype(np.int32)
+    if k == 0:
+        return np.zeros(0, dtype=np.int32)
+    mb = bucket(k, lo=64)
+    breaks = np.asarray(_compact_breaks(mask, nb, mb))
+    return breaks[:k]
 
 
 # ---------------------------------------------------------------------------
@@ -302,8 +321,9 @@ def _dict_groups(d, saD, lcpD, pos_phrase, pos_off, phrase_ln_by_pos,
                  nd: int, w: int):
     """Group valid dict suffixes (same string across phrases).
 
-    Returns per-D-SA-row: valid mask, group id (on valid rows), cross-group
-    lcp (reset-scan min), suffix length, and the bwt char per valid position.
+    Returns device tables over D coords (no O(nd) host readbacks):
+      grp_of_pos[d_pos] = group id of the valid suffix at d_pos, else -1
+      grp_cross[g]      = cross-group LCP at the first row of group g
     """
     ph = jnp.take(pos_phrase, saD)          # phrase id of suffix start
     off = jnp.take(pos_off, saD)            # offset within phrase
@@ -326,76 +346,83 @@ def _dict_groups(d, saD, lcpD, pos_phrase, pos_off, phrase_ln_by_pos,
     new_group = valid & ~same
     grp_of_row = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # valid rows only
     cross = jnp.where(new_group, gapmin, 0)
-    return valid, grp_of_row, cross, suf_len, new_group
+
+    # group tables as device scatters (dropped writes for masked rows);
+    # the first group in SA order has id 0 and cross lcp 0 (j==0 -> lcp 0)
+    grp_cross = jnp.zeros((nd,), jnp.int32).at[
+        jnp.where(new_group, grp_of_row, nd)].set(cross, mode="drop")
+    grp_cross = grp_cross.at[0].set(0)
+    grp_of_pos = jnp.full((nd,), -1, jnp.int32).at[
+        jnp.where(valid, saD, nd)].set(grp_of_row, mode="drop")
+    return grp_of_pos, grp_cross
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "npz"))
+def _pos_tables(d_starts, phrase_ln, nd: int, npz: int):
+    """position -> (phrase id, offset, phrase len) tables over D coords,
+    entirely on device (only the tiny per-phrase arrays are uploaded)."""
+    pos = jnp.arange(nd, dtype=jnp.int32)
+    blk_end = d_starts[1:] + phrase_ln[1:] + 1  # npz entries
+    pid = (jnp.searchsorted(blk_end, pos, side="right") + 1).astype(jnp.int32)
+    inside = pid <= npz
+    pidc = jnp.where(inside, pid, 0)
+    off = jnp.where(inside,
+                    pos - jnp.take(d_starts, jnp.minimum(pidc, npz)), 0)
+    plen = jnp.take(phrase_ln, jnp.minimum(pidc, npz))
+    # exclude separator char itself (off == len) and anything past
+    good = inside & (off < plen)
+    pid_final = jnp.where(good, pidc, 0).astype(jnp.int32)
+    plen_final = jnp.take(phrase_ln, pid_final)  # phrase_ln[0] == 0
+    return pid_final, off.astype(jnp.int32), plen_final.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _isa_dev(sa: jax.Array, n: int) -> jax.Array:
+    return jnp.zeros((n,), jnp.int32).at[sa].set(
+        jnp.arange(n, dtype=jnp.int32))
 
 
 def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
              min_match_len, num_distinct, max_total_freq, max_doc_freq: int):
     """Full PFP expansion + interval scan; returns (res, counts, n_rows_pad)
-    compatible with ops/pipeline compaction."""
+    compatible with ops/pipeline compaction. Device-resident throughout:
+    the only host<->device traffic is small per-phrase uploads."""
     w = pfp.w
     # --- dictionary string + SA/LCP
     d_starts = _dict_starts(pfp.phrase_ln)
     nd = bucket(pfp.d_len)
+    d_starts_dev = jnp.asarray(d_starts)
+    phrase_ln_dev = jnp.asarray(pfp.phrase_ln.astype(np.int32))
     d = _build_dict_string(pfp.ext, jnp.asarray(pfp.phrase_st),
-                           jnp.asarray(pfp.phrase_ln),
-                           jnp.asarray(d_starts), nd, pfp.ext.shape[0])
+                           phrase_ln_dev, d_starts_dev, nd, pfp.ext.shape[0])
     saD, histD, lvlD = ops_suffix._suffix_array_impl(d, nd)
     lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd)
+    isaD = _isa_dev(saD, nd)
 
     # position -> (phrase, offset) tables over D coords
     npz = pfp.num_phrases
-    pos = np.arange(nd, dtype=np.int64)
-    blk_end = (d_starts[1:].astype(np.int64) + pfp.phrase_ln[1:] + 1)
-    pid_by_pos = np.searchsorted(blk_end, pos, side="right") + 1
-    inside = pid_by_pos <= npz
-    pid_by_pos = np.where(inside, pid_by_pos, 0).astype(np.int32)
-    off_by_pos = np.where(
-        inside, pos - d_starts[np.minimum(pid_by_pos, npz)], 0).astype(np.int32)
-    # exclude separator char itself (off == len) and anything past
-    plen_by_pos = pfp.phrase_ln[np.minimum(pid_by_pos, npz)].astype(np.int32)
-    good = inside & (off_by_pos < plen_by_pos)
-    pid_by_pos = np.where(good, pid_by_pos, 0).astype(np.int32)
+    pid_by_pos, off_by_pos, plen_of_pos = _pos_tables(
+        d_starts_dev, phrase_ln_dev, nd, npz)
 
-    plen_of_pos = pfp.phrase_ln.astype(np.int32)[np.minimum(pid_by_pos, npz)]
-    valid, grp_of_row, cross, suf_len_row, new_group = _dict_groups(
-        d, saD, lcpD, jnp.asarray(pid_by_pos), jnp.asarray(off_by_pos),
-        jnp.asarray(plen_of_pos), nd, w)
-
-    # group tables
-    valid_np = np.asarray(valid)
-    grp_np = np.asarray(grp_of_row)
-    cross_np = np.asarray(cross)
-    saD_np = np.asarray(saD)
-    n_groups = int(grp_np[valid_np].max()) + 1 if valid_np.any() else 0
-    ng = bucket(n_groups, lo=64)
-    grp_cross = np.zeros(ng, np.int32)
-    newg_np = np.asarray(new_group)
-    grp_cross[grp_np[newg_np]] = cross_np[newg_np]
-    if n_groups:
-        first_valid_row = np.flatnonzero(newg_np)[0]
-        grp_cross[grp_np[first_valid_row]] = 0  # j==0 -> lcp 0
-    # group id per D position
-    grp_of_pos = np.full(nd, -1, np.int32)
-    grp_of_pos[saD_np[valid_np]] = grp_np[valid_np]
+    grp_of_pos, grp_cross = _dict_groups(
+        d, saD, lcpD, pid_by_pos, off_by_pos, plen_of_pos, nd, w)
 
     # --- parse SA over P' = parse + [0]
     m = pfp.m
     mp = bucket(m + 1, lo=64)
     pprime = np.zeros(mp, np.int32)
     pprime[:m] = pfp.parse
-    saP, histP, lvlP = ops_suffix._suffix_array_impl(jnp.asarray(pprime), mp)
+    pprime_dev = jnp.asarray(pprime)
+    saP, histP, lvlP = ops_suffix._suffix_array_impl(pprime_dev, mp)
     klcp = ops_suffix._lcp_impl(saP, histP, lvlP, mp)  # phrase-count lcp
-    isaP = np.zeros(mp, np.int32)
-    isaP[np.asarray(saP)] = np.arange(mp, dtype=np.int32)
+    isaP = _isa_dev(saP, mp)
 
     # --- s_lcp_T equivalent over parse-SA adjacency
     charlen = np.zeros(mp + 1, np.int64)
     charlen[:m] = pfp.phrase_ln[pfp.parse] - w
     cumC = np.concatenate([[0], np.cumsum(charlen)]).astype(np.int64)
-    slt = _build_slt(jnp.asarray(pprime), saP, klcp, jnp.asarray(cumC),
-                     jnp.asarray(d_starts), lcpD,
-                     jnp.asarray(_isa_from(saD_np, nd)), mp, nd)
+    slt = _build_slt(pprime_dev, saP, klcp, jnp.asarray(cumC),
+                     d_starts_dev, lcpD, isaD, mp, nd)
     # mask SLT rows beyond the real m+1 suffixes: pad positions of P'
     # (zeros) sort to the very front together with the terminator; their
     # adjacency lcps are 0 anyway since charlen/cumC are 0 there.
@@ -407,22 +434,15 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     nr = bucket(n_rows)
     res, counts = _expand_and_analyze(
         jnp.asarray(pfp.parse), jnp.asarray(pfp.tstart.astype(np.int32)),
-        jnp.asarray(pfp.phrase_ln), jnp.asarray(d_starts),
+        phrase_ln_dev, d_starts_dev,
         jnp.asarray(np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)),
-        jnp.asarray(isaP), jnp.asarray(grp_of_pos), d,
-        slt_table, lcpD, jnp.asarray(_isa_from(saD_np, nd)),
-        jnp.asarray(grp_cross),
+        isaP, grp_of_pos, d,
+        slt_table, lcpD, isaD, grp_cross,
         jnp.asarray(doc_ends.astype(np.int32)),
         m, nr, nd, pfp.n_text, w, num_docs,
         jnp.int32(min_match_len), jnp.int32(num_distinct),
         jnp.int32(max_total_freq), max_doc_freq)
     return res, counts, nr
-
-
-def _isa_from(sa_np: np.ndarray, n: int) -> np.ndarray:
-    isa = np.zeros(n, np.int32)
-    isa[sa_np] = np.arange(n, dtype=np.int32)
-    return isa
 
 
 @functools.partial(jax.jit, static_argnames=("mp", "nd"))
@@ -544,3 +564,35 @@ def read_parse_files(prefix: str):
     starts = np.concatenate([[0], seps[:-1] + 1])
     lens = seps - starts
     return body, starts.astype(np.int32), lens.astype(np.int32), parse
+
+
+def pfp_from_parse_files(prefix: str, w: int = 10) -> PFPData:
+    """-p/--from-parse resume (pfp_mum.cpp:122-123, pfp.hpp:105-129):
+    rebuild PFPData from .dict/.parse without re-reading the FASTAs.
+
+    The dict body itself serves as the phrase byte store (`ext`); phrase
+    records address phrase bytes within it, so `_build_dict_string`
+    regenerates exactly the same D. Text positions come from the PFP
+    invariant: occurrence j+1 starts (phrase_ln[parse[j]] - w) chars after
+    occurrence j, with occurrence 0 starting at -1 (the artificial Dollar).
+    """
+    body, starts, lens, parse = read_parse_files(prefix)
+    num_phrases = int(lens.size)
+    m = int(parse.size)
+    phrase_st = np.zeros(num_phrases + 1, np.int32)
+    phrase_ln = np.zeros(num_phrases + 1, np.int32)
+    phrase_st[1:] = starts
+    phrase_ln[1:] = lens
+    ne = bucket(body.size + 1)
+    ext_pad = np.zeros(ne, np.uint8)
+    ext_pad[:body.size] = body
+    step = (phrase_ln[parse] - w).astype(np.int64)
+    tstart = np.empty(m, np.int64)
+    tstart[0] = -1
+    np.cumsum(step[:-1], out=tstart[1:])
+    tstart[1:] -= 1
+    n_text = int(step.sum()) - 1
+    return PFPData(w=w, n_text=n_text, m=m, num_phrases=num_phrases,
+                   d_len=int(phrase_ln.sum()) + num_phrases + 1,
+                   ext=jnp.asarray(ext_pad), parse=parse,
+                   phrase_st=phrase_st, phrase_ln=phrase_ln, tstart=tstart)

@@ -81,6 +81,25 @@ def test_build_gzip_input(rng, tmp_path):
     assert (tmp_path / "gz.mums").read_bytes()
 
 
+def test_only_parse_then_resume(fasta_dir):
+    """-P writes .dict/.parse/.lengths; -p resumes and must produce the
+    same .mums as the direct run (pfp_mum.cpp:112-123 checkpoint cycle)."""
+    tmp_path, paths = fasta_dir
+    full = str(tmp_path / "full")
+    assert cli.main(paths + ["-o", full]) == 0
+    want = (tmp_path / "full.mums").read_bytes()
+
+    ck = str(tmp_path / "ck")
+    assert cli.main(paths + ["-o", ck, "-P"]) == 0
+    assert (tmp_path / "ck.dict").exists()
+    assert (tmp_path / "ck.parse").exists()
+    assert (tmp_path / "ck.lengths").exists()
+
+    out = str(tmp_path / "resumed")
+    assert cli.main(["-p", ck, "-o", out]) == 0
+    assert (tmp_path / "resumed.mums").read_bytes() == want
+
+
 def test_mori(capsys):
     assert cli.main(["mori"]) == 0
     assert "," in capsys.readouterr().out
