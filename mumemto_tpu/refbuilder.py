@@ -131,11 +131,26 @@ def build_from_files(files, use_revcomp: bool = True) -> RefBuilder:
         if not f.endswith(FASTA_EXTS):
             raise ValueError(f"The following input-file is not a FASTA file: {f}")
 
+    from mumemto_tpu.native import get_native
+    native = get_native()
+
     pieces = []
     seq_lengths = []
     mf_names, mf_lengths = [], []
     dollar = np.array([DOLLAR], dtype=np.uint8)
     for path in files:
+        if native is not None:
+            # C++ data-loader: gzip decode + uppercase + fwd$rc$ packing in
+            # one native pass (native/mumemto_native.cc, kseq-equivalent)
+            doc, names, contig_lens = native.load_fasta_doc(path, use_revcomp)
+            total = sum(contig_lens)
+            if total == 0:
+                raise ValueError(f"Empty input file found: {path}")
+            mf_names.append(names)
+            mf_lengths.append([int(x) for x in contig_lens])
+            pieces.append(np.frombuffer(doc, dtype=np.uint8))
+            seq_lengths.append(len(doc))
+            continue
         names, seqs = read_fasta(path)
         total = sum(int(s.size) for s in seqs)
         if total == 0:
