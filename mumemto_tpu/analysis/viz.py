@@ -2,9 +2,9 @@
 
 Per-MUM or per-collinear-block polygons between sequence rows, with
 inversion color switching, centering, region zoom, label/filelist reorder,
-and multi-FASTA modes (normal/delineated/gapped). The interactive plotly
-variant (viz_mums_interactive.py) is gated: plotly is not available in this
-environment.
+and multi-FASTA modes (normal/delineated/gapped). --interactive renders the
+same geometry into a self-contained HTML file (analysis/viz_interactive.py,
+the viz_mums_interactive.py counterpart without the plotly dependency).
 """
 
 from __future__ import annotations
@@ -240,10 +240,6 @@ def offset_mums(a, mums, spacer=None, blocks=None):
 
 def run(argv) -> int:
     a = parse_arguments(argv)
-    if a.interactive:
-        print("mumemto viz --interactive requires plotly, which is not "
-              "available in this environment; falling back to static PNG.",
-              file=sys.stderr)
 
     info = formats.parse_lengths(a.lens)
     have_multi = any(info.contig_lengths) and all(
@@ -334,8 +330,16 @@ def run(argv) -> int:
         polygons, colors = get_block_polygons(blocks, mums, centering,
                                               a.mum_color, a.inv_color)
 
-    out = _plot(a, seq_lengths, polygons, colors, centering,
-                genomes=genome_names)
+    if a.interactive:
+        # interactive HTML output (viz_mums_interactive.py counterpart);
+        # self-contained SVG+JS, no plotly dependency
+        from mumemto_tpu.analysis.viz_interactive import write_html
+        out = write_html(a.filename, seq_lengths, polygons, colors,
+                         centering, genome_names, alpha=a.alpha,
+                         title=os.path.basename(a.prefix))
+    else:
+        out = _plot(a, seq_lengths, polygons, colors, centering,
+                    genomes=genome_names)
     if a.verbose:
         print(f"Wrote {out}", file=sys.stderr)
     return 0

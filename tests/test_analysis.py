@@ -76,6 +76,18 @@ def test_viz_renders_png(inversion_collection):
     assert open(png2, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_viz_interactive_html(inversion_collection):
+    tmp_path, out = inversion_collection
+    htm = str(tmp_path / "synteny.html")
+    assert cli.main(["viz", "-m", out + ".mums", "-o", htm,
+                     "--interactive"]) == 0
+    data = open(htm).read()
+    assert data.startswith("<!DOCTYPE html>")
+    assert "<svg" in data and "polygon" in data and "viewBox" in data
+    # inversion polygons carry the inversion color
+    assert "green" in data
+
+
 @pytest.fixture
 def multirecord_build(rng, tmp_path):
     base1 = rand_seq(rng, 150)
