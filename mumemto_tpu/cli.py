@@ -180,6 +180,11 @@ def build_main(argv) -> int:
         results = engine.find_matches(rb, opts)
     engine.write_outputs(results, rb, args.output_prefix)
     print(f"[build_main] {results.num_matches} matches found", file=sys.stderr)
+    if results.bwt_runs:
+        # repetitiveness stat n/r (pfp_mum.cpp:148-150)
+        n, r = results.text_length, results.bwt_runs
+        print(f"[build_main] n = {n}, r = {r}, n/r = {n / r:.3f}",
+              file=sys.stderr)
     return 0
 
 

@@ -33,7 +33,24 @@ from mumemto_tpu.ops import intervals as ops_intervals  # noqa: E402
 MAX_THRESH = 65535  # mem_finder.hpp:299
 
 
-def pad_size(n: int, min_pad: int = 1) -> int:
+def interval_size_cap(opts: MatchOptions, num_docs: int) -> int | None:
+    """Static upper bound on the SA-row count of any interval that can pass
+    the occurrence filters: each doc contributes <= f rows (check_doc_range,
+    mem_finder.hpp:265-289) and the total is <= F when F > 0. None when both
+    f and F are unlimited. Rounded up to a power of two to bound the number
+    of compiled walk variants."""
+    caps = []
+    if opts.max_doc_freq > 0:
+        caps.append(num_docs * opts.max_doc_freq)
+    if opts.max_total_freq > 0:
+        caps.append(int(opts.max_total_freq))
+    if not caps:
+        return None
+    cap = min(caps)
+    return 1 << max(cap.bit_length(), 2)
+
+
+def pad_size(n: int, min_pad: int = 4) -> int:
     """Bucket n + min_pad up to a power-of-two-ish size (0.75 / 1.0 multiples
     of powers of two, min 4096) to bound the number of compiled shapes."""
     target = max(n + min_pad, 4096)
@@ -58,6 +75,9 @@ class MatchResults:
     # merge metadata
     candidate_thresh: np.ndarray = None  # per-first-genome-position values
     mum_positions: np.ndarray = None     # (m, 2) [offset-in-doc0, length]
+    # run stats (reference n/r, pfp_mum.cpp:148-150)
+    text_length: int = 0
+    bwt_runs: int = 0
 
     @property
     def num_matches(self) -> int:
@@ -98,33 +118,39 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
     parse_prefix: resume from PREFIX.dict/.parse instead of rb.text
     (-p/--from-parse, pfp_mum.cpp:122-123).
     """
+    size_cap = interval_size_cap(opts, rb.num_docs)
     if parse_prefix:
         from mumemto_tpu.ops import pfp as ops_pfp
         pfp = ops_pfp.pfp_from_parse_files(parse_prefix, w=pfp_w)
         res, counts, n = ops_pfp.pfp_scan(
             pfp, rb.doc_ends, rb.num_docs,
             jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
-            jnp.int32(opts.max_total_freq), opts.max_doc_freq)
+            jnp.int32(opts.max_total_freq), opts.max_doc_freq,
+            size_cap=size_cap)
     elif backend == "pfp":
         from mumemto_tpu.ops import pfp as ops_pfp
         res, counts, n = ops_pfp.scan_collection_pfp(
             rb.text, rb.doc_ends, rb.num_docs,
             jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
             jnp.int32(opts.max_total_freq), opts.max_doc_freq,
-            w=pfp_w, mod=pfp_mod)
+            w=pfp_w, mod=pfp_mod, size_cap=size_cap)
     else:
         n_real = int(rb.text.size)
-        n = pad_size(n_real, min_pad=2)
+        n = pad_size(n_real)
         text = np.zeros(n, dtype=np.uint8)
         text[:n_real] = rb.text
         res, counts = ops_pipeline.scan_collection(
             jnp.asarray(text), jnp.asarray(rb.doc_ends, dtype=jnp.int32),
             n, rb.num_docs,
             jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
-            jnp.int32(opts.max_total_freq), opts.max_doc_freq)
-    n_emit, n_cand = (int(x) for x in np.asarray(counts))
+            jnp.int32(opts.max_total_freq), opts.max_doc_freq,
+            size_cap=size_cap)
+    n_emit, n_cand, n_runs = (int(x) for x in np.asarray(counts))
 
     results = MatchResults(opts=opts, num_docs=rb.num_docs)
+    results.bwt_runs = n_runs
+    results.text_length = int(rb.text.size) if rb.text is not None else (
+        sum(rb.seq_lengths))
     doc_offsets, doc_lens = _doc_metadata(rb, opts)
 
     if opts.mum_mode:
@@ -170,7 +196,7 @@ def compute_arrays(rb, padded_n: int | None = None):
     """Host-array index construction (debug/test path). Returns numpy
     (sa, lcp, bwt, da) over the zero-padded text."""
     n_real = int(rb.text.size)
-    n = padded_n or pad_size(n_real, min_pad=2)
+    n = padded_n or pad_size(n_real)
     text = np.zeros(n, dtype=np.uint8)
     text[:n_real] = rb.text
     sa, lcp, bwt = ops_suffix.suffix_lcp_arrays(text)
@@ -186,7 +212,8 @@ def find_matches_from_arrays(sa, lcp, bwt, da, rb, opts: MatchOptions) -> MatchR
         jnp.asarray(lcp, jnp.int32), jnp.asarray(da, jnp.int32),
         jnp.asarray(bwt), n,
         jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
-        jnp.int32(opts.max_total_freq), opts.max_doc_freq)
+        jnp.int32(opts.max_total_freq), opts.max_doc_freq,
+        size_cap=interval_size_cap(opts, rb.num_docs))
     cand = np.array(res["cand"])
     emit = np.array(res["emit"])
     s_all = np.asarray(res["s"])

@@ -109,6 +109,42 @@ def mum(sequences, min_match_len: int = 20, use_revcomp: bool = True,
     return MumResult(results, _record_lengths(sequences))
 
 
+def _cabi_mum(sequences, min_match_len, use_revcomp, num_distinct):
+    """C-ABI marshalling shim (native/mumemto_capi.cc): flat bytes out."""
+    r = mum(sequences, min_match_len, bool(use_revcomp), num_distinct)
+    m = r.num_matches()
+    n = r.num_docs()
+    lengths = np.ascontiguousarray(r.match_lengths, dtype=np.uint32).tobytes()
+    offsets = np.ascontiguousarray(r.offsets, dtype=np.int64).tobytes()
+    strands = np.ascontiguousarray(r.strands, dtype=np.uint8).tobytes()
+    return m, n, lengths, offsets, strands
+
+
+def _cabi_mem(sequences, min_match_len, use_revcomp, num_distinct,
+              max_total_freq, max_doc_freq):
+    """C-ABI marshalling shim: ragged MEM occurrences flattened with a
+    prefix-offset table."""
+    r = mem(sequences, min_match_len, bool(use_revcomp), num_distinct,
+            max_total_freq, max_doc_freq)
+    recs = r._r.mem_records
+    m = len(recs)
+    n = r.num_docs()
+    lens = np.asarray([t[0] for t in recs], dtype=np.uint32)
+    counts = [len(t[1]) for t in recs]
+    occ_off = np.zeros(m + 1, dtype=np.uint64)
+    np.cumsum(counts, out=occ_off[1:])
+    if m:
+        pos = np.concatenate([t[1] for t in recs]).astype(np.int64)
+        ids = np.concatenate([t[2] for t in recs]).astype(np.uint32)
+        strands = np.concatenate([t[3] for t in recs]).astype(np.uint8)
+    else:
+        pos = np.zeros(0, np.int64)
+        ids = np.zeros(0, np.uint32)
+        strands = np.zeros(0, np.uint8)
+    return (m, n, lens.tobytes(), occ_off.tobytes(), pos.tobytes(),
+            ids.tobytes(), strands.tobytes())
+
+
 def mem(sequences, min_match_len: int = 20, use_revcomp: bool = True,
         num_distinct: int = 0, max_total_freq: int = 0,
         max_doc_freq: int = 2) -> MemResult:

@@ -44,11 +44,14 @@ from mumemto_tpu.ops.suffix import _num_levels
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _sparse_min_table(values: jax.Array) -> list:
+def _sparse_min_table(values: jax.Array, max_level: int | None = None) -> list:
     """table[l][x] = min(values[x : x + 2^l]) with end-clamping, built with
-    slices only (no gathers)."""
+    slices only (no gathers). max_level caps the table height (enough for
+    walks of bounded distance)."""
     n = values.shape[0]
     L = _num_levels(n)
+    if max_level is not None:
+        L = min(L, max_level)
     table = [values]
     for lvl in range(1, L + 1):
         half = 1 << (lvl - 1)
@@ -139,10 +142,12 @@ def _leftmost_mask(e: jax.Array, lcp: jax.Array, n: int) -> jax.Array:
     return jnp.zeros((n,), bool).at[p_s].set(first)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_doc_freq"))
+@functools.partial(jax.jit,
+                   static_argnames=("n", "max_doc_freq", "size_cap"))
 def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
                       n: int, min_match_len, num_distinct,
-                      max_total_freq, max_doc_freq: int):
+                      max_total_freq, max_doc_freq: int,
+                      size_cap: int | None = None):
     """Evaluate every candidate LCP interval; returns per-boundary arrays.
 
     Returns dict of n-sized arrays:
@@ -155,14 +160,34 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
 
     For max_doc_freq != 1 the distinct-count (unique >= k) sub-check of
     check_doc_range is deferred to the host over the compacted candidates.
+
+    size_cap: static upper bound on the size (e - s) of any interval that
+    can pass the occurrence filters (num_docs * f, or F) — lets the PSV/NSV
+    binary descents run over O(log cap) levels instead of O(log n), which
+    is the dominant gather cost. Intervals wider than the cap are exactly
+    the ones the doc-frequency/total-frequency conditions reject, so
+    invalidating them preserves reference semantics for both emit and cand.
     """
     p = jnp.arange(n, dtype=jnp.int32)
     Lv = lcp
     is_cand = lcp >= min_match_len
 
-    tmin = _sparse_min_table(lcp)
+    walk_levels = None
+    if size_cap is not None and size_cap < n:
+        # levels 0..walk_levels cover walk distances up to
+        # 2^(walk_levels+1) - 1 >= size_cap
+        walk_levels = max((size_cap + 1).bit_length() - 1, 1)
+    tmin = _sparse_min_table(lcp, max_level=walk_levels)
     s = _psv_walk(tmin, p, Lv)
     e = _nsv_walk(tmin, p, Lv)
+    if walk_levels is not None:
+        # capped descent: if the walk endpoint is not an actual smaller
+        # value, the true interval extends beyond the cap -> cannot pass
+        # the frequency filters; invalidate (e = n marks it open/dropped)
+        s_found = jnp.take(lcp, jnp.clip(s, 0, n - 1)) < Lv
+        s_found = s_found | (s < 0)  # virtual lcp[-1] = -inf
+        e_found = (e < n) & (jnp.take(lcp, jnp.clip(e, 0, n - 1)) < Lv)
+        e = jnp.where(s_found & e_found, e, n)
     closed = e < n
     leftmost = _leftmost_mask(e, lcp, n)
 

@@ -120,8 +120,7 @@ _KEYS_PER_ROUND = 4
 _CHARS_PER_ROUND = _CHARS_PER_KEY * _KEYS_PER_ROUND
 
 
-@functools.partial(jax.jit, static_argnames=("m", "ne"))
-def _phrase_sort_round(ext, st, ln, order, grp, off, m: int, ne: int):
+def _phrase_round_body(ext, st, ln, order, grp, off, m: int, ne: int):
     """One round: refine `order`/`grp` by the next _CHARS_PER_ROUND chars."""
     rec_st = jnp.take(st, order)
     rec_ln = jnp.take(ln, order)
@@ -151,6 +150,29 @@ def _phrase_sort_round(ext, st, ln, order, grp, off, m: int, ne: int):
     return order2, new_grp, unresolved.sum(dtype=jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "ne", "maxlen"))
+def _phrase_sort_loop(ext, st, ln, m: int, ne: int, maxlen: int):
+    """Full lex-sort of phrase records as ONE device program: a
+    lax.while_loop over comparison rounds (ties counted on device) instead
+    of a host loop with a readback sync per round."""
+    order0 = jnp.arange(m, dtype=jnp.int32)
+    grp0 = jnp.zeros(m, jnp.int32)
+
+    def cond(carry):
+        _o, _g, off, ties = carry
+        return (ties > 0) & (off < maxlen)
+
+    def body(carry):
+        order, grp, off, _ties = carry
+        order2, grp2, ties2 = _phrase_round_body(
+            ext, st, ln, order, grp, off, m, ne)
+        return order2, grp2, off + _CHARS_PER_ROUND, ties2
+
+    order, grp, _off, _ties = jax.lax.while_loop(
+        cond, body, (order0, grp0, jnp.int32(0), jnp.int32(1)))
+    return order, grp
+
+
 def sort_phrases(ext_dev, st_np, ln_np, ne: int):
     """Lex-sort phrase records; returns (order, grp) as numpy.
 
@@ -164,18 +186,11 @@ def sort_phrases(ext_dev, st_np, ln_np, ne: int):
     ln[:m] = ln_np
     # pad records have length 0 -> all-equal keys; they sort first as one
     # group (empty string), real phrases have length >= w+1 > 0
-    st_d = jnp.asarray(st)
-    ln_d = jnp.asarray(ln)
-    order = jnp.arange(mb, dtype=jnp.int32)
-    grp = jnp.zeros(mb, jnp.int32)
-    off = 0
     maxlen = int(ln_np.max())
-    while True:
-        order, grp, ties = _phrase_sort_round(
-            ext_dev, st_d, ln_d, order, grp, jnp.int32(off), mb, ne)
-        off += _CHARS_PER_ROUND
-        if int(ties) == 0 or off >= maxlen:
-            break
+    # bucket maxlen so the compiled loop is shared across inputs
+    maxlen_b = bucket(maxlen, lo=_CHARS_PER_ROUND)
+    order, grp = _phrase_sort_loop(
+        ext_dev, jnp.asarray(st), jnp.asarray(ln), mb, ne, maxlen_b)
     order = np.asarray(order)
     grp = np.asarray(grp)
     # strip pads (they form the first group: length-0 records)
@@ -291,21 +306,33 @@ def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "ne"))
-def _build_dict_string(ext, phrase_st, phrase_ln, d_starts, nd: int, ne: int):
-    """Materialize D = concat(sorted phrases + SEP) + TERM (padded to nd)."""
+def _dict_setup(ext, phrase_st, phrase_ln, d_starts, nd: int, ne: int):
+    """Materialize D = concat(sorted phrases + SEP) + TERM (padded to nd),
+    plus the position -> (phrase id, offset, phrase len) tables.
+
+    One fused program; the block id per position comes from a scatter of
+    block starts + cummax forward-fill (2 O(nd) passes) instead of a
+    searchsorted binary descent (log #phrases gather passes).
+    """
     npz = phrase_st.shape[0] - 1  # phrases are 1..npz
     total = d_starts[npz] + phrase_ln[npz] + 1  # end of last block incl. SEP
     pos = jnp.arange(nd, dtype=jnp.int32)
-    pid = jnp.searchsorted(d_starts[1:] + phrase_ln[1:] + 1, pos,
-                           side="right") + 1  # which phrase block
-    pid = jnp.clip(pid, 1, npz)
+    pid_fill = jnp.zeros((nd,), jnp.int32).at[
+        jnp.clip(d_starts[1:], 0, nd - 1)].max(
+        jnp.arange(1, npz + 1, dtype=jnp.int32))
+    pid = jnp.maximum(jax.lax.cummax(pid_fill), 1)  # block id per position
     off = pos - jnp.take(d_starts, pid)
-    in_phrase = off < jnp.take(phrase_ln, pid)
+    plen = jnp.take(phrase_ln, pid)
+    in_phrase = off < plen
     src = jnp.take(phrase_st, pid) + off
     ch = jnp.take(ext, jnp.clip(src, 0, ne - 1))
     d = jnp.where(in_phrase, ch, jnp.uint8(SEP))
     d = jnp.where(pos >= total, jnp.uint8(TERM), d)  # TERM at total, 0-pad after
-    return d
+    # pid table for suffix classification: 0 on separator/terminator/pad
+    good = in_phrase & (pos < total)
+    pid_final = jnp.where(good, pid, 0).astype(jnp.int32)
+    plen_final = jnp.take(phrase_ln, pid_final)  # phrase_ln[0] == 0
+    return d, pid_final, off.astype(jnp.int32), plen_final.astype(jnp.int32)
 
 
 def _dict_starts(phrase_ln: np.ndarray) -> np.ndarray:
@@ -357,25 +384,6 @@ def _dict_groups(d, saD, lcpD, pos_phrase, pos_off, phrase_ln_by_pos,
     return grp_of_pos, grp_cross
 
 
-@functools.partial(jax.jit, static_argnames=("nd", "npz"))
-def _pos_tables(d_starts, phrase_ln, nd: int, npz: int):
-    """position -> (phrase id, offset, phrase len) tables over D coords,
-    entirely on device (only the tiny per-phrase arrays are uploaded)."""
-    pos = jnp.arange(nd, dtype=jnp.int32)
-    blk_end = d_starts[1:] + phrase_ln[1:] + 1  # npz entries
-    pid = (jnp.searchsorted(blk_end, pos, side="right") + 1).astype(jnp.int32)
-    inside = pid <= npz
-    pidc = jnp.where(inside, pid, 0)
-    off = jnp.where(inside,
-                    pos - jnp.take(d_starts, jnp.minimum(pidc, npz)), 0)
-    plen = jnp.take(phrase_ln, jnp.minimum(pidc, npz))
-    # exclude separator char itself (off == len) and anything past
-    good = inside & (off < plen)
-    pid_final = jnp.where(good, pidc, 0).astype(jnp.int32)
-    plen_final = jnp.take(phrase_ln, pid_final)  # phrase_ln[0] == 0
-    return pid_final, off.astype(jnp.int32), plen_final.astype(jnp.int32)
-
-
 @functools.partial(jax.jit, static_argnames=("n",))
 def _isa_dev(sa: jax.Array, n: int) -> jax.Array:
     return jnp.zeros((n,), jnp.int32).at[sa].set(
@@ -383,26 +391,28 @@ def _isa_dev(sa: jax.Array, n: int) -> jax.Array:
 
 
 def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
-             min_match_len, num_distinct, max_total_freq, max_doc_freq: int):
+             min_match_len, num_distinct, max_total_freq, max_doc_freq: int,
+             size_cap: int | None = None):
     """Full PFP expansion + interval scan; returns (res, counts, n_rows_pad)
     compatible with ops/pipeline compaction. Device-resident throughout:
     the only host<->device traffic is small per-phrase uploads."""
     w = pfp.w
     # --- dictionary string + SA/LCP
     d_starts = _dict_starts(pfp.phrase_ln)
-    nd = bucket(pfp.d_len)
+    # +4 trailing TERM pads: the packed-init SA seed reads up to 3 chars
+    # past a suffix start (ops/suffix.py packed contract)
+    nd = bucket(pfp.d_len + 4)
     d_starts_dev = jnp.asarray(d_starts)
     phrase_ln_dev = jnp.asarray(pfp.phrase_ln.astype(np.int32))
-    d = _build_dict_string(pfp.ext, jnp.asarray(pfp.phrase_st),
-                           phrase_ln_dev, d_starts_dev, nd, pfp.ext.shape[0])
-    saD, histD, lvlD = ops_suffix._suffix_array_impl(d, nd)
-    lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd)
+    d, pid_by_pos, off_by_pos, plen_of_pos = _dict_setup(
+        pfp.ext, jnp.asarray(pfp.phrase_st), phrase_ln_dev, d_starts_dev,
+        nd, pfp.ext.shape[0])
+    saD, histD, lvlD = ops_suffix._suffix_array_impl(d, nd, packed_init=True)
+    # static LCP-descent depth: the actual doubling round count (one scalar
+    # sync), rounded up to even to bound compile variants
+    lvl_static = min((int(lvlD) + 1) // 2 * 2, histD.shape[0])
+    lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd, levels=lvl_static)
     isaD = _isa_dev(saD, nd)
-
-    # position -> (phrase, offset) tables over D coords
-    npz = pfp.num_phrases
-    pid_by_pos, off_by_pos, plen_of_pos = _pos_tables(
-        d_starts_dev, phrase_ln_dev, nd, npz)
 
     grp_of_pos, grp_cross = _dict_groups(
         d, saD, lcpD, pid_by_pos, off_by_pos, plen_of_pos, nd, w)
@@ -441,7 +451,7 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
         jnp.asarray(doc_ends.astype(np.int32)),
         m, nr, nd, pfp.n_text, w, num_docs,
         jnp.int32(min_match_len), jnp.int32(num_distinct),
-        jnp.int32(max_total_freq), max_doc_freq)
+        jnp.int32(max_total_freq), max_doc_freq, size_cap)
     return res, counts, nr
 
 
@@ -469,18 +479,22 @@ def _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
 @functools.partial(
     jax.jit,
     static_argnames=("m", "nr", "nd", "n_text", "w", "num_docs",
-                     "max_doc_freq"))
+                     "max_doc_freq", "size_cap"))
 def _expand_and_analyze(parse, tstart, phrase_ln, d_starts, cumcnt, isaP,
                         grp_of_pos, d, slt_table, lcpD, isaD, grp_cross,
                         doc_ends, m: int, nr: int, nd: int, n_text: int,
                         w: int, num_docs: int,
                         min_match_len, num_distinct, max_total_freq,
-                        max_doc_freq: int):
+                        max_doc_freq: int, size_cap: int | None = None):
     """Expand (occurrence, offset) rows, sort into SA order, compute LCP,
     and run the interval analysis."""
     r = jnp.arange(nr, dtype=jnp.int32)
-    occ = jnp.searchsorted(cumcnt[1:m + 1], r, side="right").astype(jnp.int32)
-    occ = jnp.minimum(occ, m - 1)
+    # occurrence id per row: scatter occurrence starts + cummax forward-fill
+    # (2 O(nr) passes; cumcnt is strictly increasing so no duplicate writes)
+    occ_fill = jnp.zeros((nr,), jnp.int32).at[
+        jnp.clip(cumcnt[:m], 0, nr - 1)].max(
+        jnp.arange(m, dtype=jnp.int32))
+    occ = jax.lax.cummax(occ_fill)
     pad = r >= cumcnt[m]
     o = r - jnp.take(cumcnt, occ) + 1
     pid = jnp.take(parse, occ)
@@ -514,23 +528,29 @@ def _expand_and_analyze(parse, tstart, phrase_ln, d_starts, cumcnt, isaP,
 
     res = ops_intervals.analyze_intervals(
         lcp, da, bwts.astype(jnp.uint8), nr,
-        min_match_len, num_distinct, max_total_freq, max_doc_freq)
+        min_match_len, num_distinct, max_total_freq, max_doc_freq,
+        size_cap=size_cap)
     res["sa"] = ssas
     res["da"] = da
     res["lcp"] = lcp
+    # BWT run count over real rows (n/r stat, pfp_mum.cpp:148-150)
+    real = key1s >= 0
+    change = (bwts[1:] != bwts[:-1]) & real[1:] & real[:-1]
+    nruns = change.sum(dtype=jnp.int32) + 1
     counts = jnp.stack([res["emit"].sum(dtype=jnp.int32),
-                        res["cand"].sum(dtype=jnp.int32)])
+                        res["cand"].sum(dtype=jnp.int32), nruns])
     return res, counts
 
 
 def scan_collection_pfp(text_np: np.ndarray, doc_ends: np.ndarray,
                         num_docs: int, min_match_len, num_distinct,
                         max_total_freq, max_doc_freq: int,
-                        w: int = 10, mod: int = 100):
+                        w: int = 10, mod: int = 100,
+                        size_cap: int | None = None):
     """Drop-in alternative to ops/pipeline.scan_collection via PFP."""
     pfp = build_pfp(text_np, w=w, mod=mod)
     return pfp_scan(pfp, doc_ends, num_docs, min_match_len, num_distinct,
-                    max_total_freq, max_doc_freq)
+                    max_total_freq, max_doc_freq, size_cap=size_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -542,10 +562,11 @@ def write_parse_files(rb, prefix: str, w: int = 10, mod: int = 100) -> None:
     and .parse (u32 ranks)."""
     pfp = build_pfp(rb.text, w=w, mod=mod)
     d_starts = _dict_starts(pfp.phrase_ln)
-    nd = bucket(pfp.d_len)
-    d = np.asarray(_build_dict_string(
-        pfp.ext, jnp.asarray(pfp.phrase_st), jnp.asarray(pfp.phrase_ln),
-        jnp.asarray(d_starts), nd, pfp.ext.shape[0]))
+    nd = bucket(pfp.d_len + 4)
+    d = np.asarray(_dict_setup(
+        pfp.ext, jnp.asarray(pfp.phrase_st),
+        jnp.asarray(pfp.phrase_ln.astype(np.int32)),
+        jnp.asarray(d_starts), nd, pfp.ext.shape[0])[0])
     with open(prefix + ".dict", "wb") as f:
         f.write(d[:pfp.d_len].tobytes())
     with open(prefix + ".parse", "wb") as f:
@@ -571,7 +592,7 @@ def pfp_from_parse_files(prefix: str, w: int = 10) -> PFPData:
     rebuild PFPData from .dict/.parse without re-reading the FASTAs.
 
     The dict body itself serves as the phrase byte store (`ext`); phrase
-    records address phrase bytes within it, so `_build_dict_string`
+    records address phrase bytes within it, so `_dict_setup`
     regenerates exactly the same D. Text positions come from the PFP
     invariant: occurrence j+1 starts (phrase_ln[parse[j]] - w) chars after
     occurrence j, with occurrence 0 starting at -1 (the artificial Dollar).

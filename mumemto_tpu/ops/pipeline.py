@@ -22,11 +22,12 @@ from mumemto_tpu.ops import intervals as ops_intervals
 from mumemto_tpu.ops import suffix as ops_suffix
 
 
-@functools.partial(jax.jit, static_argnames=("n", "num_docs", "max_doc_freq"))
+@functools.partial(jax.jit, static_argnames=("n", "num_docs", "max_doc_freq",
+                                              "size_cap"))
 def scan_collection(text, doc_ends, n: int, num_docs: int,
                     min_match_len, num_distinct, max_total_freq,
-                    max_doc_freq: int):
-    sa, hist, num_lvl = ops_suffix._suffix_array_impl(text, n)
+                    max_doc_freq: int, size_cap: int | None = None):
+    sa, hist, num_lvl = ops_suffix._suffix_array_impl(text, n, packed_init=True)
     lcp = ops_suffix._lcp_impl(sa, hist, num_lvl, n)
     bwt = jnp.take(text, (sa + (n - 1)) % n)
     da = jnp.minimum(
@@ -34,12 +35,17 @@ def scan_collection(text, doc_ends, n: int, num_docs: int,
     ).astype(jnp.int32)
     res = ops_intervals.analyze_intervals(
         lcp, da, bwt, n, min_match_len, num_distinct, max_total_freq,
-        max_doc_freq)
+        max_doc_freq, size_cap=size_cap)
     res["sa"] = sa
     res["da"] = da
     res["lcp"] = lcp
+    # BWT run count over real rows (the reference's n/r repetitiveness
+    # stat, pfp_mum.cpp:148-150); pad rows (da == num_docs) excluded
+    real = da < num_docs
+    change = (bwt[1:] != bwt[:-1]) & real[1:] & real[:-1]
+    nruns = change.sum(dtype=jnp.int32) + 1
     counts = jnp.stack([res["emit"].sum(dtype=jnp.int32),
-                        res["cand"].sum(dtype=jnp.int32)])
+                        res["cand"].sum(dtype=jnp.int32), nruns])
     return res, counts
 
 

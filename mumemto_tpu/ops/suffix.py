@@ -34,17 +34,51 @@ def _num_levels(n: int) -> int:
     return max(1, math.ceil(math.log2(max(n, 2))))
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _suffix_array_impl(text: jax.Array, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "packed_init"))
+def _suffix_array_impl(text: jax.Array, n: int, packed_init: bool = False):
+    """Prefix-doubling SA. packed_init=True (valid only when every element
+    is < 128, e.g. byte texts) seeds the rank history with packed 1-/2-/4-
+    char ranks, skipping the first two sort rounds. Rank rows are only ever
+    compared for equality/order, so order-preserving non-compact ranks are
+    valid seeds."""
     L = _num_levels(n)
     idx = jnp.arange(n, dtype=jnp.int32)
     rank0 = text.astype(jnp.int32)
     hist = jnp.zeros((L + 1, n), dtype=jnp.int32).at[0].set(rank0)
 
+    def shift(r, k):
+        return jnp.where(idx + k < n, jnp.take(r, jnp.minimum(idx + k, n - 1)),
+                         -1)
+
+    if packed_init:
+        # 7-bit packed seed ranks covering 2 then 4 chars (all < 2^28).
+        # Chars are stored as char+1 (valid while char < 127) so that a
+        # beyond-the-array slot packs as 0 = "absent", which sorts before
+        # every real char — the same shorter-suffix-first semantics the
+        # doubling rounds get from key2 = -1.
+        tp = rank0 + 1
+        slot1 = jnp.where(idx + 1 < n,
+                          jnp.concatenate([tp[1:], jnp.zeros((1,), jnp.int32)])
+                          if n > 1 else jnp.zeros((n,), jnp.int32),
+                          0)
+        rank2 = (tp << 7) | slot1
+        slot23 = jnp.where(idx + 2 < n,
+                           jnp.concatenate([rank2[2:],
+                                            jnp.zeros((2,), jnp.int32)])
+                           if n > 2 else jnp.zeros((n,), jnp.int32),
+                           0)
+        rank4 = (rank2 << 14) | slot23
+        hist = hist.at[1].set(rank2).at[2].set(rank4)
+        start_rank, start_k, start_lvl = rank4, jnp.int32(4), jnp.int32(3)
+        start_sa = jnp.argsort(rank4, stable=True).astype(jnp.int32)
+    else:
+        start_rank, start_k, start_lvl = rank0, jnp.int32(1), jnp.int32(1)
+        start_sa = jnp.argsort(rank0, stable=True).astype(jnp.int32)
+
     def body(carry):
         rank, sa, hist, k, lvl, _done = carry
         # rank of the suffix starting 2^(lvl-1) later; -1 past the end
-        key2 = jnp.where(idx + k < n, jnp.take(rank, jnp.minimum(idx + k, n - 1)), -1)
+        key2 = shift(rank, k)
         r1, r2, perm = jax.lax.sort((rank, key2, idx), num_keys=2)
         changed = jnp.concatenate([
             jnp.zeros((1,), jnp.int32),
@@ -60,25 +94,31 @@ def _suffix_array_impl(text: jax.Array, n: int):
         _rank, _sa, _hist, _k, lvl, done = carry
         return (lvl <= L) & jnp.logical_not(done)
 
-    init = (rank0, jnp.argsort(rank0, stable=True).astype(jnp.int32),
-            hist, jnp.int32(1), jnp.int32(1), jnp.bool_(False))
+    init = (start_rank, start_sa, hist, start_k, start_lvl, jnp.bool_(False))
     rank, sa, hist, _k, lvl, _done = jax.lax.while_loop(cond, body, init)
     return sa, hist, lvl
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _lcp_impl(sa: jax.Array, hist: jax.Array, num_lvl: jax.Array, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "levels"))
+def _lcp_impl(sa: jax.Array, hist: jax.Array, num_lvl: jax.Array, n: int,
+              levels: int | None = None):
     """lcp[j] = LCP(suffix sa[j-1], suffix sa[j]); lcp[0] = 0.
 
     Exact rank-descent using the doubling history. Levels above the last
     computed round use the final (all-distinct) rank row: equality there is
     impossible, so they contribute nothing — no special-casing needed.
+
+    levels: static count of computed doubling rounds (the runtime value of
+    num_lvl, read back by the caller). Descending from levels-1 instead of
+    the worst-case log2(n) skips the provably-no-op top levels — each level
+    costs two O(n) gathers, the dominant cost of this function.
     """
     L = hist.shape[0] - 1
+    top = L if levels is None else min(int(levels) - 1, L)
     a = jnp.concatenate([sa[:1], sa[:-1]])  # previous row (a[0] unused)
     b = sa
     h = jnp.zeros((n,), jnp.int32)
-    for lvl in range(L, -1, -1):
+    for lvl in range(top, -1, -1):
         row = jnp.minimum(jnp.int32(lvl), num_lvl - 1)
         ranks = jax.lax.dynamic_index_in_dim(hist, row, axis=0, keepdims=False)
         ia = a + h
@@ -94,11 +134,13 @@ def suffix_lcp_arrays(text_padded: np.ndarray | jax.Array):
     """Full index construction: (sa, lcp, bwt) as device arrays.
 
     bwt[j] = text[(sa[j] - 1) mod n], matching direct_gsacak.hpp:64-67.
+    Caller contract for the packed seed: >= 4 trailing zero-pad chars and
+    every char < 128 (both hold for the engine's padded byte texts).
     """
     n = int(text_padded.shape[0])
     text = jnp.asarray(text_padded, dtype=jnp.uint8)
-    sa, hist, num_lvl = _suffix_array_impl(text, n)
-    lcp = _lcp_impl(sa, hist, num_lvl, n)
+    sa, hist, num_lvl = _suffix_array_impl(text, n, packed_init=True)
+    lcp = _lcp_impl(sa, hist, num_lvl, n, levels=int(num_lvl))
     bwt = jnp.take(text, (sa + (n - 1)) % n)
     return sa, lcp, bwt
 
