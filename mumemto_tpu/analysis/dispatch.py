@@ -215,6 +215,9 @@ def run_lengths(argv) -> int:
     ap.add_argument("files", nargs="*")
     ap.add_argument("-i", "--input", dest="input_list", default="")
     ap.add_argument("-o", "--output", dest="output_prefix", default="output")
+    ap.add_argument("-p", "--processed", action="store_true",
+                    help="also write each input's concatenated fwd$rc$ "
+                         "sequence as a FASTA (compute_lengths.cpp:150-160)")
     args = ap.parse_args(argv)
     files = args.files
     if args.input_list:
@@ -227,6 +230,20 @@ def run_lengths(argv) -> int:
         nn, ss = read_fasta(p)
         names.append(nn)
         lengths.append([int(s.size) for s in ss])
+        if args.processed:
+            from mumemto_tpu.refbuilder import revcomp
+            fwd = np.concatenate(ss) if len(ss) > 1 else ss[0]
+            doc = (fwd.tobytes() + b"$" + revcomp(fwd).tobytes() + b"$")
+            base = os.path.basename(p)
+            for ext in (".fa.gz", ".fasta.gz", ".fna.gz", ".fa", ".fasta",
+                        ".fna"):
+                if base.endswith(ext):
+                    base = base[: -len(ext)]
+                    break
+            out = os.path.join(os.path.dirname(args.output_prefix) or ".",
+                               base + "_processed.fa")
+            with open(out, "wb") as f:
+                f.write(b">" + base.encode() + b"_processed\n" + doc + b"\n")
     formats.write_lengths(args.output_prefix + ".lengths", files, names, lengths)
     return 0
 
