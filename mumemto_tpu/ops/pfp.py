@@ -407,10 +407,22 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     d, pid_by_pos, off_by_pos, plen_of_pos = _dict_setup(
         pfp.ext, jnp.asarray(pfp.phrase_st), phrase_ln_dev, d_starts_dev,
         nd, pfp.ext.shape[0])
-    saD, histD, lvlD = ops_suffix._suffix_array_impl(d, nd, packed_init=True)
-    # static LCP-descent depth: the actual doubling round count (one scalar
-    # sync), rounded up to even to bound compile variants
-    lvl_static = min((int(lvlD) + 1) // 2 * 2, histD.shape[0])
+    # Depth cap for the dictionary SA/LCP: the pipeline consumes dict-suffix
+    # ORDER only up to maxlen+1 chars (suffix pairs sharing longer prefixes
+    # are same-string same-length = same group, whose relative order is
+    # irrelevant — ordering within a tie block cannot move a group boundary
+    # or change any consumed range-min), and every consumed lcpD VALUE is
+    # <= maxlen (slt pair LCPs are whole-phrase LCPs; gapmin/cross are
+    # bounded by phrase-suffix lengths; larger values are only COMPARED
+    # against suffix lengths <= maxlen, and the capped descent clamps them
+    # at 2^levels - 1 >= maxlen + 1). So both the doubling depth and the
+    # LCP rank-descent run ~log2(maxlen) rounds instead of ~log2(nd) —
+    # each round is several O(nd) passes, the dominant cost of this stage.
+    maxlen = int(pfp.phrase_ln.max()) if pfp.phrase_ln.size > 1 else 1
+    lvl_cap = (maxlen + 2).bit_length()
+    saD, histD, lvlD = ops_suffix._suffix_array_impl(
+        d, nd, packed_init=True, max_lvl=lvl_cap)
+    lvl_static = min((int(lvlD) + 1) // 2 * 2, histD.shape[0], lvl_cap)
     lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd, levels=lvl_static)
     isaD = _isa_dev(saD, nd)
 
@@ -447,7 +459,7 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
         phrase_ln_dev, d_starts_dev,
         jnp.asarray(np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)),
         isaP, grp_of_pos, d,
-        slt_table, lcpD, isaD, grp_cross,
+        slt_table, grp_cross,
         jnp.asarray(doc_ends.astype(np.int32)),
         m, nr, nd, pfp.n_text, w, num_docs,
         jnp.int32(min_match_len), jnp.int32(num_distinct),
@@ -481,7 +493,7 @@ def _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
     static_argnames=("m", "nr", "nd", "n_text", "w", "num_docs",
                      "max_doc_freq", "size_cap"))
 def _expand_and_analyze(parse, tstart, phrase_ln, d_starts, cumcnt, isaP,
-                        grp_of_pos, d, slt_table, lcpD, isaD, grp_cross,
+                        grp_of_pos, d, slt_table, grp_cross,
                         doc_ends, m: int, nr: int, nd: int, n_text: int,
                         w: int, num_docs: int,
                         min_match_len, num_distinct, max_total_freq,

@@ -34,14 +34,25 @@ def _num_levels(n: int) -> int:
     return max(1, math.ceil(math.log2(max(n, 2))))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "packed_init"))
-def _suffix_array_impl(text: jax.Array, n: int, packed_init: bool = False):
+@functools.partial(jax.jit, static_argnames=("n", "packed_init", "max_lvl"))
+def _suffix_array_impl(text: jax.Array, n: int, packed_init: bool = False,
+                       max_lvl: int | None = None):
     """Prefix-doubling SA. packed_init=True (valid only when every element
     is < 128, e.g. byte texts) seeds the rank history with packed 1-/2-/4-
     char ranks, skipping the first two sort rounds. Rank rows are only ever
     compared for equality/order, so order-preserving non-compact ranks are
-    valid seeds."""
+    valid seeds.
+
+    max_lvl caps the doubling depth: the result is then a suffix ordering
+    exact up to 2^max_lvl-char prefixes, with ties (suffix pairs sharing
+    longer prefixes) left in arbitrary relative order. Valid ONLY for
+    consumers that treat such ties as equivalent — the PFP dictionary path
+    qualifies (ties beyond maxlen+1 chars are same-group suffixes whose
+    order is irrelevant; see pfp_scan); the direct text-SA path must not
+    set it."""
     L = _num_levels(n)
+    if max_lvl is not None:
+        L = min(L, max_lvl)
     idx = jnp.arange(n, dtype=jnp.int32)
     rank0 = text.astype(jnp.int32)
     hist = jnp.zeros((L + 1, n), dtype=jnp.int32).at[0].set(rank0)
