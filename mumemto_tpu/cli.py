@@ -151,8 +151,13 @@ def build_main(argv) -> int:
               file=sys.stderr)
         return 0
 
+    import time
+    t_start = time.time()
     rb = refbuilder.build_from_files(files, use_revcomp=args.use_rcomp)
     rb.write_lengths_file(args.output_prefix)
+    print(f"[build_main] reference built ({time.time() - t_start:.2f}s, "
+          f"{rb.text.size / 1e6:.1f}M chars, {rb.num_docs} docs)",
+          file=sys.stderr)
     opts = options.normalize(
         rb.num_docs, min_match_len=args.min_match_len,
         num_distinct_docs=args.num_distinct_docs, rare_freq=args.rare_freq,
@@ -177,9 +182,14 @@ def build_main(argv) -> int:
         formats.write_rl_bwt(args.output_prefix + ".bwt", bwt[real])
         results = engine.find_matches_from_arrays(*arrs, rb, opts)
     else:
-        results = engine.find_matches(rb, opts)
+        t0 = time.time()
+        results = engine.find_matches(rb, opts, pfp_w=args.pfp_w,
+                                      pfp_mod=args.hash_mod)
+        print(f"[build_main] match scan finished ({time.time() - t0:.2f}s)",
+              file=sys.stderr)
     engine.write_outputs(results, rb, args.output_prefix)
-    print(f"[build_main] {results.num_matches} matches found", file=sys.stderr)
+    print(f"[build_main] {results.num_matches} matches found "
+          f"(total {time.time() - t_start:.2f}s)", file=sys.stderr)
     if results.bwt_runs:
         # repetitiveness stat n/r (pfp_mum.cpp:148-150)
         n, r = results.text_length, results.bwt_runs

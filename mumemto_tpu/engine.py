@@ -319,32 +319,40 @@ def _emit_mums(results, s, e, L, w_sa, w_da, valid, opts,
 def _emit_mems(results, s, e, L, w_sa, w_da, valid, opts,
                doc_offsets, doc_lens):
     """write_mem semantics (mem_finder.hpp:210-263), incl. the last-element
-    '-' transform quirk (no -1 at :248)."""
+    '-' transform quirk (no -1 at :248). Coordinate transforms are
+    vectorized over the (m, W) windows; only line assembly loops."""
+    m = len(s)
+    if m == 0:
+        results.mem_lines = []
+        results.mem_records = []
+        return
+    num_docs = len(doc_lens)
+    W = valid.shape[1]
+    nv = valid.sum(axis=1).astype(np.int64)
+    docs = np.minimum(w_da, num_docs - 1)
+    pos = w_sa.astype(np.int64) - doc_offsets[docs]
+    dl = doc_lens[docs]
+    if opts.use_revcomp:
+        neg = valid & (pos >= dl)
+    else:
+        neg = np.zeros_like(valid)
+    is_last = np.arange(W)[None, :] == (nv[:, None] - 1)
+    # '-' transform: 2*len - pos - L - 1, except the LAST occurrence of a
+    # match drops the -1 (mem_finder.hpp:248)
+    tpos = np.where(neg, 2 * dl - pos - L[:, None].astype(np.int64)
+                    - 1 + is_last, pos)
     lines = []
     records = []
-    for i in range(len(s)):
+    for i in range(m):
+        k = int(nv[i])
         Li = int(L[i])
-        nv = int(valid[i].sum())
-        docs = w_da[i, :nv]
-        pos = w_sa[i, :nv].astype(np.int64) - doc_offsets[docs]
-        dl = doc_lens[docs]
-        positions, strand = [], []
-        for t in range(nv):
-            p = int(pos[t])
-            d = int(dl[t])
-            if opts.use_revcomp and p >= d:
-                strand.append("-")
-                if t < nv - 1:
-                    p = 2 * d - p - Li - 1
-                else:
-                    p = 2 * d - p - Li
-            else:
-                strand.append("+")
-            positions.append(p)
-        lines.append(formats.format_mem_line(Li, positions, docs.tolist(), strand))
-        records.append((Li, np.asarray(positions, dtype=np.int64),
-                        docs.astype(np.int64),
-                        np.asarray([x == "+" for x in strand])))
+        p = tpos[i, :k]
+        d = w_da[i, :k]
+        sn = neg[i, :k]
+        strand = ["-" if x else "+" for x in sn]
+        lines.append(formats.format_mem_line(Li, p.tolist(), d.tolist(),
+                                             strand))
+        records.append((Li, p, d.astype(np.int64), ~sn))
     results.mem_lines = lines
     results.mem_records = records
 
