@@ -178,6 +178,75 @@ def parse_bumbl(path: str):
     return lengths, starts, strands, blocks, flags
 
 
+def iter_bumbl(path: str, chunk_size: int = 1 << 16):
+    """Stream a .bumbl in chunks of (lengths u32, starts i64, strands bool)
+    without loading the whole file (utils.py:69-175 chunked reader).
+
+    Yields (lengths[c], starts[c, n_seqs], strands[c, n_seqs]) tuples.
+    Requires n_seqs % 8 == 0 OR chunk boundaries aligned to byte-packed
+    strands; we align chunks to multiples of 8 mums to keep the packed
+    strand bits byte-aligned.
+    """
+    chunk_size = max(8, chunk_size - chunk_size % 8)
+    with open(path, "rb") as f:
+        flags = int(np.frombuffer(f.read(2), dtype=np.uint16)[0])
+        n_seqs = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+        n_mums = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+        ldtype = np.uint32 if flags & FLAG_LENGTH32 else np.uint16
+        lsize = np.dtype(ldtype).itemsize
+        base = f.tell()
+        starts_base = base + n_mums * lsize
+        strands_base = starts_base + n_mums * n_seqs * 8
+        for lo in range(0, n_mums, chunk_size):
+            hi = min(lo + chunk_size, n_mums)
+            c = hi - lo
+            f.seek(base + lo * lsize)
+            lengths = np.frombuffer(f.read(c * lsize), dtype=ldtype
+                                    ).astype(np.uint32)
+            f.seek(starts_base + lo * n_seqs * 8)
+            starts = np.frombuffer(f.read(c * n_seqs * 8), dtype=np.int64
+                                   ).reshape(c, n_seqs)
+            bit_lo = lo * n_seqs
+            bit_hi = hi * n_seqs
+            byte_lo = bit_lo // 8
+            f.seek(strands_base + byte_lo)
+            nbytes = (bit_hi + 7) // 8 - byte_lo
+            bits = np.unpackbits(np.frombuffer(f.read(nbytes), dtype=np.uint8))
+            off = bit_lo - byte_lo * 8
+            strands = bits[off:off + c * n_seqs].reshape(c, n_seqs).astype(bool)
+            yield lengths, starts, strands
+
+
+def first_offsets(path: str, num_docs: int | None = None):
+    """(lengths, first-genome offsets, first-genome strands) without
+    materializing the full match table (mumsio.hpp:198-281 streamers)."""
+    if path.endswith(".bumbl"):
+        lens, offs, strs = [], [], []
+        for L, S, T in iter_bumbl(path):
+            lens.append(L)
+            offs.append(S[:, 0])
+            strs.append(T[:, 0])
+        if not lens:
+            return (np.zeros(0, np.uint32), np.zeros(0, np.int64),
+                    np.zeros(0, bool))
+        return (np.concatenate(lens), np.concatenate(offs),
+                np.concatenate(strs))
+    lens, offs, strs = [], [], []
+    with open(path, "rb") as f:
+        for raw in f:
+            line = raw.rstrip(b"\n")
+            if not line:
+                continue
+            fl, fp, fs = line.split(b"\t")
+            lens.append(int(fl))
+            p0 = fp.split(b",", 1)[0]
+            s0 = fs.split(b",", 1)[0]
+            offs.append(int(p0) if p0 else -1)
+            strs.append(s0 == b"+")
+    return (np.asarray(lens, np.uint32), np.asarray(offs, np.int64),
+            np.asarray(strs, bool))
+
+
 # ---------------------------------------------------------------------------
 # .lengths
 # ---------------------------------------------------------------------------

@@ -116,7 +116,7 @@ def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _CHARS_PER_KEY = 3
-_KEYS_PER_ROUND = 4
+_KEYS_PER_ROUND = 8
 _CHARS_PER_ROUND = _CHARS_PER_KEY * _KEYS_PER_ROUND
 
 

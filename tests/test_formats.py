@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from mumemto_tpu import formats
 
@@ -88,3 +89,42 @@ def test_thresh_roundtrip(tmp_path):
     p = str(tmp_path / "x.thresh")
     formats.write_thresh(p, vals)
     assert (formats.read_thresh(p) == vals).all()
+
+
+@pytest.mark.parametrize("n_mums,n_seqs,chunk", [(100, 3, 16), (25, 5, 8),
+                                                 (1000, 7, 64)])
+def test_iter_bumbl_chunks(tmp_path, n_mums, n_seqs, chunk):
+    rng = np.random.default_rng(7)
+    lengths = rng.integers(20, 4000, n_mums).astype(np.uint32)
+    starts = rng.integers(-1, 10**7, (n_mums, n_seqs)).astype(np.int64)
+    strands = rng.integers(0, 2, (n_mums, n_seqs)).astype(bool)
+    p = str(tmp_path / "x.bumbl")
+    formats.write_bumbl(p, lengths, starts, strands)
+    Ls, Ss, Ts = zip(*formats.iter_bumbl(p, chunk_size=chunk))
+    assert (np.concatenate(Ls) == lengths).all()
+    assert (np.concatenate(Ss) == starts).all()
+    assert (np.concatenate(Ts) == strands).all()
+
+
+def test_first_offsets_both_formats(tmp_path):
+    rng = np.random.default_rng(8)
+    lengths = rng.integers(20, 400, 50).astype(np.uint32)
+    starts = rng.integers(0, 10**6, (50, 4)).astype(np.int64)
+    starts[3, 0] = -1
+    strands = rng.integers(0, 2, (50, 4)).astype(bool)
+    pb = str(tmp_path / "x.bumbl")
+    formats.write_bumbl(pb, lengths, starts, strands)
+    L, O, S = formats.first_offsets(pb)
+    assert (L == lengths).all() and (O == starts[:, 0]).all()
+    assert (S == strands[:, 0]).all()
+    # text format
+    pm = str(tmp_path / "x.mums")
+    with open(pm, "wb") as f:
+        for i in range(50):
+            offs = [int(x) for x in starts[i]]
+            strs = ["+" if x else "-" for x in strands[i]]
+            f.write(formats.format_mum_line(int(lengths[i]), offs, strs))
+    L2, O2, S2 = formats.first_offsets(pm)
+    assert (L2 == lengths).all()
+    want0 = np.where(starts[:, 0] == -1, -1, starts[:, 0])
+    assert (O2 == want0).all()
