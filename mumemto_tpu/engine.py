@@ -156,11 +156,14 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
     if opts.mum_mode:
         W = rb.num_docs  # distinct docs => window size <= N
         M = ops_pipeline.bucket(n_emit)
-        _, s, e, L, w_sa, w_da, w_prev, valid, real = (
-            np.asarray(x) for x in ops_pipeline.compact_windows(res, n, M, W))
+        s, e, L, w_sa, w_da = (
+            np.asarray(x)
+            for x in ops_pipeline.compact_windows_mum(res, n, M, W))
         m = n_emit
-        _emit_mums(results, s[:m], e[:m], L[:m], w_sa[:m], w_da[:m],
-                   valid[:m], opts, doc_offsets, doc_lens, rb.num_docs)
+        valid = (s[:m, None] + np.arange(W)) < e[:m, None]
+        _emit_mums(results, s[:m], e[:m], L[:m], w_sa[:m],
+                   w_da[:m].astype(np.int32), valid, opts,
+                   doc_offsets, doc_lens, rb.num_docs)
     else:
         M = ops_pipeline.bucket(n_emit)
         _, s0, e0, _, real0 = (np.asarray(x) for x in

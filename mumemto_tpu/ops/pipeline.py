@@ -77,6 +77,22 @@ def compact_windows(res, n: int, M: int, W: int):
     return idx, s, e, L, w_sa, w_da, w_prev, valid, real
 
 
+@functools.partial(jax.jit, static_argnames=("n", "M", "W"))
+def compact_windows_mum(res, n: int, M: int, W: int):
+    """MUM-mode compaction: only the fields the host writer consumes, in
+    compact dtypes — the device->host link is ~10 MB/s, so the readback
+    payload is (4 + 4 + 2) bytes per window cell instead of 17."""
+    idx = _select_ordered(res["emit"], res["e"], res["L"], n, M)
+    s = jnp.take(res["s"], idx)
+    e = jnp.take(res["e"], idx)
+    L = jnp.take(res["L"], idx)
+    cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    colc = jnp.clip(cols, 0, n - 1)
+    w_sa = jnp.take(res["sa"], colc)
+    w_da = jnp.take(res["da"], colc).astype(jnp.int16)
+    return s, e, L, w_sa, w_da
+
+
 @functools.partial(jax.jit, static_argnames=("n", "M"))
 def compact_fields(res, n: int, M: int):
     """Emitted intervals' (s, e, L) in pop order (no windows)."""
@@ -113,5 +129,10 @@ def compact_cand_thresh(res, n: int, M: int, W: int):
 
 
 def bucket(m: int, lo: int = 256) -> int:
-    """Power-of-two bucket for compaction sizes."""
-    return max(lo, 1 << (max(m, 1) - 1).bit_length())
+    """0.75/1.0-of-power-of-two bucket for compaction sizes (tighter than
+    pure powers of two: the padding rows are readback waste)."""
+    m = max(m, 1)
+    p = 1 << (m - 1).bit_length()
+    if p // 2 + p // 4 >= m:
+        p = p // 2 + p // 4
+    return max(lo, p)
