@@ -63,9 +63,11 @@ def bucket(n: int, lo: int = 1024) -> int:
 # 1. parse: window hash + breaks
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("w", "mod", "n", "n_real"))
-def _break_mask(text: jax.Array, w: int, mod: int, n: int, n_real: int):
-    """mask[i] = window ending at i triggers a phrase break; also count."""
+@functools.partial(jax.jit, static_argnames=("w", "mod", "n"))
+def _break_mask(text: jax.Array, n_real: jax.Array, w: int, mod: int, n: int):
+    """mask[i] = window ending at i triggers a phrase break; also count.
+    n_real is traced so different input lengths share one compile per
+    bucketed n."""
     t = text.astype(jnp.uint32)
     h = jnp.zeros((n,), jnp.uint32)
     power = jnp.uint32(1)
@@ -99,7 +101,7 @@ def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
     nb = bucket(n)
     padded = np.zeros(nb, dtype=np.uint8)
     padded[:n] = text_np
-    mask, count = _break_mask(jnp.asarray(padded), w, mod, nb, n)
+    mask, count = _break_mask(jnp.asarray(padded), jnp.int32(n), w, mod, nb)
     k = int(count)
     # a break on the very last char would make the final phrase exactly the
     # w-overlap + w dollars; that is fine — but a break at i = n-1 followed
@@ -187,8 +189,8 @@ def sort_phrases(ext_dev, st_np, ln_np, ne: int):
     # pad records have length 0 -> all-equal keys; they sort first as one
     # group (empty string), real phrases have length >= w+1 > 0
     maxlen = int(ln_np.max())
-    # bucket maxlen so the compiled loop is shared across inputs
-    maxlen_b = bucket(maxlen, lo=_CHARS_PER_ROUND)
+    # power-of-two bucket so the compiled loop is shared across inputs
+    maxlen_b = max(_CHARS_PER_ROUND, 1 << (maxlen - 1).bit_length())
     order, grp = _phrase_sort_loop(
         ext_dev, jnp.asarray(st), jnp.asarray(ln), mb, ne, maxlen_b)
     order = np.asarray(order)
@@ -306,20 +308,25 @@ def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "ne"))
-def _dict_setup(ext, phrase_st, phrase_ln, d_starts, nd: int, ne: int):
+def _dict_setup(ext, phrase_st, phrase_ln, d_starts, npz, total,
+                nd: int, ne: int):
     """Materialize D = concat(sorted phrases + SEP) + TERM (padded to nd),
     plus the position -> (phrase id, offset, phrase len) tables.
 
     One fused program; the block id per position comes from a scatter of
     block starts + cummax forward-fill (2 O(nd) passes) instead of a
     searchsorted binary descent (log #phrases gather passes).
+
+    Phrase arrays are bucket-padded (zero-length pad phrases with
+    d_starts == total); npz = real phrase count and total = end of the
+    last block incl. SEP are traced so different inputs share compiles.
     """
-    npz = phrase_st.shape[0] - 1  # phrases are 1..npz
-    total = d_starts[npz] + phrase_ln[npz] + 1  # end of last block incl. SEP
+    npzb = phrase_st.shape[0] - 1  # padded phrase slots 1..npzb
     pos = jnp.arange(nd, dtype=jnp.int32)
-    pid_fill = jnp.zeros((nd,), jnp.int32).at[
-        jnp.clip(d_starts[1:], 0, nd - 1)].max(
-        jnp.arange(1, npz + 1, dtype=jnp.int32))
+    ids = jnp.arange(1, npzb + 1, dtype=jnp.int32)
+    # drop pad-phrase scatters entirely (their d_starts == total)
+    st_idx = jnp.where(ids <= npz, jnp.clip(d_starts[1:], 0, nd - 1), nd)
+    pid_fill = jnp.zeros((nd,), jnp.int32).at[st_idx].max(ids, mode="drop")
     pid = jnp.maximum(jax.lax.cummax(pid_fill), 1)  # block id per position
     off = pos - jnp.take(d_starts, pid)
     plen = jnp.take(phrase_ln, pid)
@@ -402,10 +409,23 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     # +4 trailing TERM pads: the packed-init SA seed reads up to 3 chars
     # past a suffix start (ops/suffix.py packed contract)
     nd = bucket(pfp.d_len + 4)
-    d_starts_dev = jnp.asarray(d_starts)
-    phrase_ln_dev = jnp.asarray(pfp.phrase_ln.astype(np.int32))
+    # bucket-pad the per-phrase arrays so every program in this pipeline is
+    # shape-stable across inputs (compiles through the tunneled device cost
+    # minutes; data-dependent shapes/statics would recompile per dataset)
+    npz = pfp.num_phrases
+    npzb = bucket(npz + 1, lo=64) - 1
+    total_real = pfp.d_len - 1  # end of the last block incl. its SEP
+    phrase_st = np.zeros(npzb + 1, np.int32)
+    phrase_ln = np.zeros(npzb + 1, np.int32)
+    d_starts_pad = np.full(npzb + 1, total_real, np.int32)
+    phrase_st[:npz + 1] = pfp.phrase_st
+    phrase_ln[:npz + 1] = pfp.phrase_ln
+    d_starts_pad[:npz + 1] = d_starts
+    d_starts_dev = jnp.asarray(d_starts_pad)
+    phrase_ln_dev = jnp.asarray(phrase_ln)
     d, pid_by_pos, off_by_pos, plen_of_pos = _dict_setup(
-        pfp.ext, jnp.asarray(pfp.phrase_st), phrase_ln_dev, d_starts_dev,
+        pfp.ext, jnp.asarray(phrase_st), phrase_ln_dev, d_starts_dev,
+        jnp.int32(npz), jnp.int32(total_real),
         nd, pfp.ext.shape[0])
     # Depth cap for the dictionary SA/LCP: the pipeline consumes dict-suffix
     # ORDER only up to maxlen+1 chars (suffix pairs sharing longer prefixes
@@ -454,14 +474,19 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     cnt = (pfp.phrase_ln[pfp.parse] - w).astype(np.int64)
     n_rows = int(cnt.sum())
     nr = bucket(n_rows)
+    tstart_pad = np.zeros(mp, np.int32)
+    tstart_pad[:m] = pfp.tstart.astype(np.int32)
+    cumcnt = np.zeros(mp + 1, np.int32)
+    cumcnt[1:m + 1] = np.cumsum(cnt)
+    cumcnt[m + 1:] = n_rows
     res, counts = _expand_and_analyze(
-        jnp.asarray(pfp.parse), jnp.asarray(pfp.tstart.astype(np.int32)),
-        phrase_ln_dev, d_starts_dev,
-        jnp.asarray(np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)),
+        pprime_dev, jnp.asarray(tstart_pad),
+        phrase_ln_dev, d_starts_dev, jnp.asarray(cumcnt),
+        jnp.int32(m), jnp.int32(n_rows), jnp.int32(pfp.n_text),
         isaP, grp_of_pos, d,
         slt_table, grp_cross,
         jnp.asarray(doc_ends.astype(np.int32)),
-        m, nr, nd, pfp.n_text, w, num_docs,
+        nr, nd, w, num_docs,
         jnp.int32(min_match_len), jnp.int32(num_distinct),
         jnp.int32(max_total_freq), max_doc_freq, size_cap)
     return res, counts, nr
@@ -490,24 +515,30 @@ def _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "nr", "nd", "n_text", "w", "num_docs",
+    static_argnames=("nr", "nd", "w", "num_docs",
                      "max_doc_freq", "size_cap"))
-def _expand_and_analyze(parse, tstart, phrase_ln, d_starts, cumcnt, isaP,
+def _expand_and_analyze(parse, tstart, phrase_ln, d_starts, cumcnt,
+                        m, total_rows, n_text, isaP,
                         grp_of_pos, d, slt_table, grp_cross,
-                        doc_ends, m: int, nr: int, nd: int, n_text: int,
+                        doc_ends, nr: int, nd: int,
                         w: int, num_docs: int,
                         min_match_len, num_distinct, max_total_freq,
                         max_doc_freq: int, size_cap: int | None = None):
     """Expand (occurrence, offset) rows, sort into SA order, compute LCP,
-    and run the interval analysis."""
+    and run the interval analysis. m (occurrence count), total_rows and
+    n_text are traced so all inputs in a shape bucket share one compile;
+    cumcnt is bucket-padded with total_rows past index m."""
     r = jnp.arange(nr, dtype=jnp.int32)
+    mp1 = cumcnt.shape[0]
     # occurrence id per row: scatter occurrence starts + cummax forward-fill
-    # (2 O(nr) passes; cumcnt is strictly increasing so no duplicate writes)
-    occ_fill = jnp.zeros((nr,), jnp.int32).at[
-        jnp.clip(cumcnt[:m], 0, nr - 1)].max(
-        jnp.arange(m, dtype=jnp.int32))
+    # (2 O(nr) passes; cumcnt is strictly increasing so no duplicate writes;
+    # pad-slot scatters are dropped)
+    slots = jnp.arange(mp1 - 1, dtype=jnp.int32)
+    starts_idx = jnp.where(slots < m, jnp.clip(cumcnt[:-1], 0, nr - 1), nr)
+    occ_fill = jnp.zeros((nr,), jnp.int32).at[starts_idx].max(
+        slots, mode="drop")
     occ = jax.lax.cummax(occ_fill)
-    pad = r >= cumcnt[m]
+    pad = r >= total_rows
     o = r - jnp.take(cumcnt, occ) + 1
     pid = jnp.take(parse, occ)
     dictpos = jnp.take(d_starts, pid) + o
@@ -575,10 +606,18 @@ def write_parse_files(rb, prefix: str, w: int = 10, mod: int = 100) -> None:
     pfp = build_pfp(rb.text, w=w, mod=mod)
     d_starts = _dict_starts(pfp.phrase_ln)
     nd = bucket(pfp.d_len + 4)
+    npz = pfp.num_phrases
+    npzb = bucket(npz + 1, lo=64) - 1
+    phrase_st = np.zeros(npzb + 1, np.int32)
+    phrase_ln = np.zeros(npzb + 1, np.int32)
+    d_starts_pad = np.full(npzb + 1, pfp.d_len - 1, np.int32)
+    phrase_st[:npz + 1] = pfp.phrase_st
+    phrase_ln[:npz + 1] = pfp.phrase_ln
+    d_starts_pad[:npz + 1] = d_starts
     d = np.asarray(_dict_setup(
-        pfp.ext, jnp.asarray(pfp.phrase_st),
-        jnp.asarray(pfp.phrase_ln.astype(np.int32)),
-        jnp.asarray(d_starts), nd, pfp.ext.shape[0])[0])
+        pfp.ext, jnp.asarray(phrase_st), jnp.asarray(phrase_ln),
+        jnp.asarray(d_starts_pad), jnp.int32(npz),
+        jnp.int32(pfp.d_len - 1), nd, pfp.ext.shape[0])[0])
     with open(prefix + ".dict", "wb") as f:
         f.write(d[:pfp.d_len].tobytes())
     with open(prefix + ".parse", "wb") as f:
