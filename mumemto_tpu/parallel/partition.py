@@ -92,3 +92,54 @@ def compile_partitioned_step(mesh, texts_shape, num_docs: int):
         in_shardings=(sharding_in, sharding_doc),
         out_shardings=out_shard)
     return fn
+
+
+def _partition_scan_matches(text, doc_ends, num_docs: int, min_match_len,
+                            num_distinct, M: int):
+    """Per-partition scan returning the compacted match windows
+    (ops/pipeline.compact_windows_mum shape contract)."""
+    from mumemto_tpu.ops import pipeline as ops_pipeline
+
+    n = text.shape[0]
+    sa, hist, num_lvl = ops_suffix._suffix_array_impl(text, n,
+                                                      packed_init=True)
+    lcp = ops_suffix._lcp_impl(sa, hist, num_lvl, n)
+    bwt = jnp.take(text, (sa + (n - 1)) % n)
+    da = jnp.minimum(jnp.searchsorted(doc_ends, sa, side="right"),
+                     num_docs).astype(jnp.int32)
+    # MUM mode (f=1): F clamps to N*f (pfp_mum.hpp:194-196) and the
+    # interval size is bounded by the doc count
+    res = ops_intervals.analyze_intervals(
+        lcp, da, bwt, n, min_match_len, num_distinct,
+        jnp.int32(num_docs), 1,
+        size_cap=1 << max(int(num_docs).bit_length(), 2))
+    res["sa"] = sa
+    res["da"] = da
+    count = res["emit"].sum(dtype=jnp.int32)
+    s, e, L, w_sa, w_da = ops_pipeline.compact_windows_mum(
+        res, n, M, num_docs)
+    return count, s, e, L, w_sa, w_da
+
+
+def compile_partitioned_matches(mesh, num_docs: int, M: int = 4096,
+                                min_match_len: int = 20,
+                                num_distinct: int | None = None):
+    """jit a partition-parallel step that returns REAL compacted matches
+    per partition: (counts[P], s/e/L [P, M], w_sa/w_da [P, M, num_docs]),
+    everything sharded over 'part'. The host then applies the writer
+    transforms per partition (engine._emit_mums) and the MumemtoM merge."""
+    if num_distinct is None:
+        num_distinct = num_docs
+    spec_in = P("part", "seq") if "seq" in mesh.axis_names else P("part")
+
+    def step(texts, doc_ends):
+        return jax.vmap(
+            lambda t, de: _partition_scan_matches(
+                t, de, num_docs, jnp.int32(min_match_len),
+                jnp.int32(num_distinct), M))(texts, doc_ends)
+
+    part = NamedSharding(mesh, P("part"))
+    fn = jax.jit(step,
+                 in_shardings=(NamedSharding(mesh, spec_in), part),
+                 out_shardings=(part,) * 6)
+    return fn

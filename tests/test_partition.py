@@ -1,0 +1,53 @@
+"""Mesh-parallel partitioned scan returns the same MUMs as per-partition
+single-device engine runs (virtual 8-device CPU mesh)."""
+
+import numpy as np
+
+from mumemto_tpu import engine, options, refbuilder
+from mumemto_tpu.parallel import partition
+from tests.conftest import mutated_collection
+
+
+def _partition_inputs(rng, n_part, num_docs, n):
+    texts = np.zeros((n_part, n), dtype=np.uint8)
+    doc_ends = np.zeros((n_part, num_docs), dtype=np.int32)
+    rbs = []
+    for p in range(n_part):
+        docs = mutated_collection(np.random.default_rng(1000 + p), num_docs,
+                                  base_len=300)
+        rb = refbuilder.build_from_sequences(docs)
+        assert rb.text.size <= n
+        texts[p, : rb.text.size] = rb.text
+        doc_ends[p] = rb.doc_ends.astype(np.int32)
+        rbs.append(rb)
+    return texts, doc_ends, rbs
+
+
+def test_partitioned_matches_equal_engine(rng):
+    import jax
+    import jax.numpy as jnp
+
+    num_docs, n, M = 3, 4096, 256
+    mesh = partition.make_mesh(len(jax.devices()))
+    n_part = mesh.shape["part"]
+    texts, doc_ends, rbs = _partition_inputs(rng, n_part, num_docs, n)
+
+    fn = partition.compile_partitioned_matches(mesh, num_docs, M=M)
+    counts, s, e, L, w_sa, w_da = (np.asarray(x) for x in
+                                   fn(jnp.asarray(texts),
+                                      jnp.asarray(doc_ends)))
+
+    opts = options.normalize(num_docs, quiet=True)
+    for p in range(n_part):
+        m = int(counts[p])
+        results = engine.MatchResults(opts=opts, num_docs=num_docs)
+        doc_offsets, doc_lens = engine._doc_metadata(rbs[p], opts)
+        valid = (s[p, :m, None] + np.arange(num_docs)) < e[p, :m, None]
+        engine._emit_mums(results, s[p, :m], e[p, :m], L[p, :m],
+                          w_sa[p, :m], w_da[p, :m].astype(np.int32), valid,
+                          opts, doc_offsets, doc_lens, num_docs)
+        want = engine.find_matches(rbs[p], opts, backend="direct")
+        assert results.output_bytes() == want.output_bytes(), f"partition {p}"
+        # raw emit counts both orientations; the writer's strand
+        # canonicalization (mem_finder.hpp:383-391) keeps one of each
+        assert len(results.lengths) == want.num_matches
