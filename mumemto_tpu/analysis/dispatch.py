@@ -83,11 +83,24 @@ def run_convert(argv) -> int:
                                  description="Converts mum and bumbl formats")
     ap.add_argument("--mums", "-m", dest="mumfile")
     ap.add_argument("--bumbl", "-b", dest="bumfile")
+    ap.add_argument("--length-upsize", "-l", action="store_true",
+                    help="convert a u16-length bumbl to u32 lengths "
+                         "(mum_to_bumbl.py:150-159)")
     ap.add_argument("--fout", "-o", dest="out")
     ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument("--chunk-size", "-c", type=int, default=8,
+                    help="rows per output chunk (accepted for parity; "
+                         "writes are vectorized)")
     args = ap.parse_args(argv)
     if args.mumfile is None and args.bumfile is None:
         ap.print_help()
+        return 0
+    if args.length_upsize:
+        if not (args.bumfile and os.path.exists(args.bumfile)):
+            ap.error("--length-upsize requires an existing --bumbl input")
+        mums = MUMdata(args.bumfile, sort=False)
+        out = args.out or args.bumfile
+        mums.write_bums(out, blocks=mums.blocks)  # writer emits u32 lengths
         return 0
     to_bum = True
     if args.mumfile and os.path.exists(args.mumfile):

@@ -58,13 +58,16 @@ def run(argv) -> int:
                     "columns, then bgzip and tabix.")
     ap.add_argument("input", nargs="?")
     ap.add_argument("--mums", "-m", dest="mumfile")
+    ap.add_argument("--bumbl", "-b", dest="bumfile")
     ap.add_argument("--seq-idx", "-s", type=int, default=0)
     ap.add_argument("--output", "-o", dest="out")
     ap.add_argument("--lengths-file", "-l", dest="lengths_file")
     ap.add_argument("--verbose", "-v", action="store_true")
     ap.add_argument("--no-tabix", action="store_true")
+    ap.add_argument("--chunk-size", "-c", type=int, default=1024,
+                    help="rows per processing chunk (streaming)")
     a = ap.parse_args(argv)
-    mumfile = a.mumfile or a.input
+    mumfile = a.mumfile or a.bumfile or a.input
     if not mumfile or not os.path.exists(mumfile):
         ap.error("Provide an existing input .mums/.bumbl file")
     if mumfile.endswith(".bumbl"):
