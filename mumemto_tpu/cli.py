@@ -210,7 +210,22 @@ def main(argv=None) -> int:
         sub, rest = argv[0], argv[1:]
         from mumemto_tpu.analysis import dispatch
         return dispatch.run(sub, rest)
-    return build_main(argv)
+    try:
+        return build_main(argv)
+    except MemoryError:
+        # out-of-memory heuristic of the reference wrapper
+        # (mumemto/mumemto:19-21: SIGKILL -> OOM message)
+        print("Error: mumemto ran out of memory. Try a smaller collection, "
+              "partitioned runs (mumemto -M per partition + mumemto merge), "
+              "or a machine/device with more memory.", file=sys.stderr)
+        return 137
+    except Exception as e:  # device OOM surfaces as XlaRuntimeError
+        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+            print("Error: the device ran out of memory during the scan. "
+                  "Partition the collection (mumemto -M per partition + "
+                  "mumemto merge) or use more chips.", file=sys.stderr)
+            return 137
+        raise
 
 
 if __name__ == "__main__":

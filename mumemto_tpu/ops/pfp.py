@@ -209,17 +209,22 @@ def sort_phrases(ext_dev, st_np, ln_np, ne: int):
 
 def _segmented_min_after_valid(lcp: jax.Array, valid: jax.Array) -> jax.Array:
     """out[i] = min(lcp[j]) over j in (prev_valid_row(i), i] — running min
-    resetting AFTER each valid row (associative segmented scan)."""
+    resetting AFTER each valid row, exact AT VALID ROWS (the only rows
+    where any consumer reads it: same/new_group/cross are all
+    valid-masked).
+
+    A segment is a run of invalid rows followed by one valid row, so a
+    valid row is always the LAST row of its segment and its prefix-min
+    equals the whole-segment min: one cumsum (segment ids) + one
+    scatter-min + one gather, all int32. (The previous formulation used
+    lax.associative_scan with a tuple carry, whose lowering hangs the TPU
+    compiler at >~10M elements.)"""
+    n = lcp.shape[0]
     seg_start = jnp.concatenate([jnp.ones((1,), bool), valid[:-1]])
-
-    def combine(a, b):
-        amin, aflag = a
-        bmin, bflag = b
-        return (jnp.where(bflag, bmin, jnp.minimum(amin, bmin)),
-                aflag | bflag)
-
-    out, _ = jax.lax.associative_scan(combine, (lcp, seg_start))
-    return out
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+    seg_min = jnp.full((n,), ops_intervals.INT32_MAX, jnp.int32
+                       ).at[seg_id].min(lcp)
+    return jnp.take(seg_min, seg_id)
 
 
 def _rmq_prepare(values: jax.Array):
@@ -397,12 +402,32 @@ def _isa_dev(sa: jax.Array, n: int) -> jax.Array:
         jnp.arange(n, dtype=jnp.int32))
 
 
+def _phase_logger():
+    """MUMEMTO_TPU_PROFILE=1: per-stage wall times to stderr (each stage is
+    synced with block_until_ready, so timings are true device costs)."""
+    import os
+    if not os.environ.get("MUMEMTO_TPU_PROFILE"):
+        return lambda name, *arrays: None
+    import sys
+    import time
+    state = {"t": time.time()}
+
+    def log(name, *arrays):
+        jax.block_until_ready(arrays)
+        now = time.time()
+        print(f"[pfp_scan] {name}: {now - state['t']:.2f}s",
+              file=sys.stderr, flush=True)
+        state["t"] = now
+    return log
+
+
 def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
              min_match_len, num_distinct, max_total_freq, max_doc_freq: int,
              size_cap: int | None = None):
     """Full PFP expansion + interval scan; returns (res, counts, n_rows_pad)
     compatible with ops/pipeline compaction. Device-resident throughout:
     the only host<->device traffic is small per-phrase uploads."""
+    phase = _phase_logger()
     w = pfp.w
     # --- dictionary string + SA/LCP
     d_starts = _dict_starts(pfp.phrase_ln)
@@ -427,6 +452,7 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
         pfp.ext, jnp.asarray(phrase_st), phrase_ln_dev, d_starts_dev,
         jnp.int32(npz), jnp.int32(total_real),
         nd, pfp.ext.shape[0])
+    phase("dict_setup", d)
     # Depth cap for the dictionary SA/LCP: the pipeline consumes dict-suffix
     # ORDER only up to maxlen+1 chars (suffix pairs sharing longer prefixes
     # are same-string same-length = same group, whose relative order is
@@ -442,12 +468,15 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     lvl_cap = (maxlen + 2).bit_length()
     saD, histD, lvlD = ops_suffix._suffix_array_impl(
         d, nd, packed_init=True, max_lvl=lvl_cap)
+    phase("dict_sa", saD)
     lvl_static = min((int(lvlD) + 1) // 2 * 2, histD.shape[0], lvl_cap)
     lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd, levels=lvl_static)
+    phase("dict_lcp", lcpD)
     isaD = _isa_dev(saD, nd)
 
     grp_of_pos, grp_cross = _dict_groups(
         d, saD, lcpD, pid_by_pos, off_by_pos, plen_of_pos, nd, w)
+    phase("dict_groups", grp_of_pos, grp_cross)
 
     # --- parse SA over P' = parse + [0]
     m = pfp.m
@@ -469,6 +498,7 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     # (zeros) sort to the very front together with the terminator; their
     # adjacency lcps are 0 anyway since charlen/cumC are 0 there.
     slt_table = _rmq_prepare(slt)
+    phase("parse_side", slt_table[0])
 
     # --- expand rows
     cnt = (pfp.phrase_ln[pfp.parse] - w).astype(np.int64)
@@ -489,6 +519,7 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
         nr, nd, w, num_docs,
         jnp.int32(min_match_len), jnp.int32(num_distinct),
         jnp.int32(max_total_freq), max_doc_freq, size_cap)
+    phase("expand_analyze", counts)
     return res, counts, nr
 
 
