@@ -27,9 +27,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def synth_collection(total_mbp: float, n_docs: int, seed: int = 0):
+def synth_collection(total_mbp: float, n_docs: int, seed: int = 0,
+                     snp_rate: float | None = None):
     """n_docs mutated copies of one base sequence, ~total_mbp Mbp total
-    (pre-revcomp)."""
+    (pre-revcomp). Default divergence 0.1% — the reference's headline
+    workloads are human pangenome haplotypes (chr19 x20, README.md,
+    BASELINE.json config 5), whose pairwise SNP divergence is ~0.1%."""
+    if snp_rate is None:
+        snp_rate = float(os.environ.get("MUMEMTO_BENCH_SNP", 0.001))
     rng = np.random.default_rng(seed)
     base_len = int(total_mbp * 1e6 / n_docs)
     base = rng.integers(0, 4, base_len, dtype=np.int8)
@@ -37,7 +42,7 @@ def synth_collection(total_mbp: float, n_docs: int, seed: int = 0):
     docs = []
     for d in range(n_docs):
         s = base.copy()
-        n_mut = max(1, int(base_len * 0.005))
+        n_mut = max(1, int(base_len * snp_rate))
         pos = rng.integers(0, base_len, n_mut)
         s[pos] = (s[pos] + rng.integers(1, 4, n_mut)) % 4
         docs.append(acgt[s])
@@ -51,6 +56,10 @@ def main():
     total_mbp = float(os.environ.get("MUMEMTO_BENCH_MBP", 8))
     n_docs = int(os.environ.get("MUMEMTO_BENCH_DOCS", 8))
     reps = int(os.environ.get("MUMEMTO_BENCH_REPS", 3))
+    # PFP window/modulus: internal representation knobs — the output is
+    # provably parse-independent (tested), so the bench may tune them
+    pfp_w = int(os.environ.get("MUMEMTO_BENCH_W", 10))
+    pfp_mod = int(os.environ.get("MUMEMTO_BENCH_MOD", 100))
 
     log(f"[bench] generating {total_mbp} Mbp synthetic pangenome, {n_docs} docs")
     docs = synth_collection(total_mbp, n_docs)
@@ -77,14 +86,14 @@ def main():
     np.asarray(jax.jit(lambda: jnp.zeros((2,), jnp.int32))())
     log(f"[bench] transfer-channel warmup: {time.time() - t0:.2f}s")
     t0 = time.time()
-    res = engine.find_matches(rb, opts)
+    res = engine.find_matches(rb, opts, pfp_w=pfp_w, pfp_mod=pfp_mod)
     warm = time.time() - t0
     log(f"[bench] warmup (incl. compile): {warm:.2f}s, {res.num_matches} MUMs")
 
     times = []
     for r in range(reps):
         t0 = time.time()
-        res = engine.find_matches(rb, opts)
+        res = engine.find_matches(rb, opts, pfp_w=pfp_w, pfp_mod=pfp_mod)
         times.append(time.time() - t0)
         log(f"[bench] rep {r}: {times[-1]:.3f}s")
     best = min(times)

@@ -119,6 +119,8 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
     (-p/--from-parse, pfp_mum.cpp:122-123).
     """
     size_cap = interval_size_cap(opts, rb.num_docs)
+    from mumemto_tpu.ops.pfp import _phase_logger
+    phase = _phase_logger()
     if parse_prefix:
         from mumemto_tpu.ops import pfp as ops_pfp
         pfp = ops_pfp.pfp_from_parse_files(parse_prefix, w=pfp_w)
@@ -145,7 +147,9 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
             jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
             jnp.int32(opts.max_total_freq), opts.max_doc_freq,
             size_cap=size_cap)
+    phase("scan_dispatch")
     n_emit, n_cand, n_runs = (int(x) for x in np.asarray(counts))
+    phase("counts_sync")
 
     results = MatchResults(opts=opts, num_docs=rb.num_docs)
     results.bwt_runs = n_runs
@@ -159,11 +163,13 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
         s, e, L, w_sa, w_da = (
             np.asarray(x)
             for x in ops_pipeline.compact_windows_mum(res, n, M, W))
+        phase("compact_readback")
         m = n_emit
         valid = (s[:m, None] + np.arange(W)) < e[:m, None]
         _emit_mums(results, s[:m], e[:m], L[:m], w_sa[:m],
                    w_da[:m].astype(np.int32), valid, opts,
                    doc_offsets, doc_lens, rb.num_docs)
+        phase("emit_mums")
     else:
         M = ops_pipeline.bucket(n_emit)
         _, s0, e0, _, real0 = (np.asarray(x) for x in
