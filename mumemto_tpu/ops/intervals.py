@@ -92,6 +92,37 @@ def _nsv_walk(table_min: list, p: jax.Array, thresh: jax.Array):
     return cur
 
 
+def _psv_nsv_windowed(lcp: jax.Array, n: int, cap: int):
+    """PSV/NSV restricted to a +-(cap-1) window, via sliced shifts only.
+
+    For intervals that can pass the occurrence filters, p - s and e - p are
+    < cap, so scanning k = 1..cap-1 shifted copies of lcp finds the true
+    PSV/NSV or proves the interval is wider than the cap. Shifted slices
+    are elementwise (XLA fuses the whole chain into a couple of kernels),
+    unlike the sparse-table binary descent whose per-level gathers dominate
+    the scan cost. Returns (s, e) with e = n marking open/too-wide, s = -1
+    marking too-wide on the left.
+    """
+    p = jnp.arange(n, dtype=jnp.int32)
+    s = jnp.full((n,), -1, jnp.int32)
+    e = jnp.full((n,), n, jnp.int32)
+    s_found = jnp.zeros((n,), bool)
+    e_found = jnp.zeros((n,), bool)
+    for k in range(1, cap):
+        left = jnp.concatenate([jnp.zeros((k,), jnp.int32), lcp[:-k]])
+        hit = (~s_found) & (left < lcp)
+        s = jnp.where(hit, p - k, s)
+        s_found |= hit
+        right = jnp.concatenate([lcp[k:], jnp.full((k,), -1, jnp.int32)])
+        hit = (~e_found) & (right < lcp)
+        e = jnp.where(hit, jnp.minimum(p + k, n), e)
+        e_found |= hit
+    # invalidate when either side exceeded the window (cannot pass filters)
+    e = jnp.where(s_found & e_found, e, n)
+    s = jnp.maximum(s, 0)
+    return s, e
+
+
 def prev_same_doc(da: jax.Array) -> jax.Array:
     """prev[r] = largest r' < r with da[r'] == da[r], else -1 (sort-based)."""
     n = da.shape[0]
@@ -172,22 +203,26 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
     Lv = lcp
     is_cand = lcp >= min_match_len
 
-    walk_levels = None
-    if size_cap is not None and size_cap < n:
-        # levels 0..walk_levels cover walk distances up to
-        # 2^(walk_levels+1) - 1 >= size_cap
-        walk_levels = max((size_cap + 1).bit_length() - 1, 1)
-    tmin = _sparse_min_table(lcp, max_level=walk_levels)
-    s = _psv_walk(tmin, p, Lv)
-    e = _nsv_walk(tmin, p, Lv)
-    if walk_levels is not None:
-        # capped descent: if the walk endpoint is not an actual smaller
-        # value, the true interval extends beyond the cap -> cannot pass
-        # the frequency filters; invalidate (e = n marks it open/dropped)
-        s_found = jnp.take(lcp, jnp.clip(s, 0, n - 1)) < Lv
-        s_found = s_found | (s < 0)  # virtual lcp[-1] = -inf
-        e_found = (e < n) & (jnp.take(lcp, jnp.clip(e, 0, n - 1)) < Lv)
-        e = jnp.where(s_found & e_found, e, n)
+    if size_cap is not None and size_cap <= 128:
+        # shifted-slice window scan: gather-free, fully fusable
+        s, e = _psv_nsv_windowed(lcp, n, size_cap)
+    else:
+        walk_levels = None
+        if size_cap is not None and size_cap < n:
+            # levels 0..walk_levels cover walk distances up to
+            # 2^(walk_levels+1) - 1 >= size_cap
+            walk_levels = max((size_cap + 1).bit_length() - 1, 1)
+        tmin = _sparse_min_table(lcp, max_level=walk_levels)
+        s = _psv_walk(tmin, p, Lv)
+        e = _nsv_walk(tmin, p, Lv)
+        if walk_levels is not None:
+            # capped descent: if the walk endpoint is not an actual smaller
+            # value, the true interval extends beyond the cap -> cannot
+            # pass the frequency filters; invalidate (e = n marks it open)
+            s_found = jnp.take(lcp, jnp.clip(s, 0, n - 1)) < Lv
+            s_found = s_found | (s < 0)  # virtual lcp[-1] = -inf
+            e_found = (e < n) & (jnp.take(lcp, jnp.clip(e, 0, n - 1)) < Lv)
+            e = jnp.where(s_found & e_found, e, n)
     closed = e < n
     leftmost = _leftmost_mask(e, lcp, n)
 

@@ -97,12 +97,14 @@ def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
     count and the O(#breaks) position array (device->host bandwidth through
     the tunnel is the scarce resource, never move O(n) data).
     """
+    phase = _phase_logger()
     n = text_np.size
     nb = bucket(n)
     padded = np.zeros(nb, dtype=np.uint8)
     padded[:n] = text_np
     mask, count = _break_mask(jnp.asarray(padded), jnp.int32(n), w, mod, nb)
     k = int(count)
+    phase("    break_mask+count")
     # a break on the very last char would make the final phrase exactly the
     # w-overlap + w dollars; that is fine — but a break at i = n-1 followed
     # by the mandatory final phrase works naturally. No special-casing.
@@ -110,6 +112,7 @@ def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
         return np.zeros(0, dtype=np.int32)
     mb = bucket(k, lo=64)
     breaks = np.asarray(_compact_breaks(mask, nb, mb))
+    phase("    break_compact+readback")
     return breaks[:k]
 
 
@@ -117,90 +120,34 @@ def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
 # 2. dictionary: chunked lexicographic phrase sort + dedup
 # ---------------------------------------------------------------------------
 
-_CHARS_PER_KEY = 3
-_KEYS_PER_ROUND = 8
-_CHARS_PER_ROUND = _CHARS_PER_KEY * _KEYS_PER_ROUND
-
-
-def _phrase_round_body(ext, st, ln, order, grp, off, m: int, ne: int):
-    """One round: refine `order`/`grp` by the next _CHARS_PER_ROUND chars."""
-    rec_st = jnp.take(st, order)
-    rec_ln = jnp.take(ln, order)
-    keys = []
-    for k in range(_KEYS_PER_ROUND):
-        key = jnp.zeros((m,), jnp.int32)
-        for c in range(_CHARS_PER_KEY):
-            pos = off + k * _CHARS_PER_KEY + c
-            ch = jnp.take(ext, jnp.clip(rec_st + pos, 0, ne - 1))
-            ch = jnp.where(pos < rec_ln, ch.astype(jnp.int32) + 1, 0)
-            key = key * 257 + ch
-        keys.append(key)
-    op = (grp, *keys, order)
-    out = jax.lax.sort(op, num_keys=1 + _KEYS_PER_ROUND)
-    g2, *ks2, order2 = out
-    diff = jnp.zeros((m,), bool).at[0].set(True)
-    prev_all_eq = jnp.ones((m - 1,), bool)
-    for a in (g2, *ks2):
-        prev_all_eq = prev_all_eq & (a[1:] == a[:-1])
-    diff = diff.at[1:].set(~prev_all_eq)
-    new_grp = jnp.cumsum(diff.astype(jnp.int32)) - 1
-    # a tie remains if some adjacent pair is fully equal AND not yet past
-    # both records' ends
-    len2 = jnp.take(ln, order2)
-    unresolved = prev_all_eq & (
-        (len2[1:] > off + _CHARS_PER_ROUND) | (len2[:-1] > off + _CHARS_PER_ROUND))
-    return order2, new_grp, unresolved.sum(dtype=jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("m", "ne", "maxlen"))
-def _phrase_sort_loop(ext, st, ln, m: int, ne: int, maxlen: int):
-    """Full lex-sort of phrase records as ONE device program: a
-    lax.while_loop over comparison rounds (ties counted on device) instead
-    of a host loop with a readback sync per round."""
-    order0 = jnp.arange(m, dtype=jnp.int32)
-    grp0 = jnp.zeros(m, jnp.int32)
-
-    def cond(carry):
-        _o, _g, off, ties = carry
-        return (ties > 0) & (off < maxlen)
-
-    def body(carry):
-        order, grp, off, _ties = carry
-        order2, grp2, ties2 = _phrase_round_body(
-            ext, st, ln, order, grp, off, m, ne)
-        return order2, grp2, off + _CHARS_PER_ROUND, ties2
-
-    order, grp, _off, _ties = jax.lax.while_loop(
-        cond, body, (order0, grp0, jnp.int32(0), jnp.int32(1)))
-    return order, grp
-
-
-def sort_phrases(ext_dev, st_np, ln_np, ne: int):
-    """Lex-sort phrase records; returns (order, grp) as numpy.
+def sort_phrases(ext_np: np.ndarray, st_np: np.ndarray,
+                 ln_np: np.ndarray):
+    """Lex-sort phrase records on the HOST; returns (order, grp) as numpy.
 
     grp is the 0-based rank group in sorted order; equal phrases share grp.
+
+    Deliberately host-side: there are only m ~ n/mod records (thousands per
+    Mbp) and byte-string comparisons early-exit at the first difference, so
+    CPython's sort finishes in milliseconds — while a device comparison
+    loop needs one ~30ms while_loop round per compared chunk ALL the way to
+    maxlen (identical duplicate phrases never resolve earlier), plus a
+    multi-minute one-time compile. This is metadata-scale work, the same
+    altitude as file IO; the O(n) stages stay on device.
     """
-    m = st_np.size
-    mb = bucket(m, lo=64)
-    st = np.full(mb, ne - 1, np.int32)
-    ln = np.zeros(mb, np.int32)
-    st[:m] = st_np
-    ln[:m] = ln_np
-    # pad records have length 0 -> all-equal keys; they sort first as one
-    # group (empty string), real phrases have length >= w+1 > 0
-    maxlen = int(ln_np.max())
-    # power-of-two bucket so the compiled loop is shared across inputs
-    maxlen_b = max(_CHARS_PER_ROUND, 1 << (maxlen - 1).bit_length())
-    order, grp = _phrase_sort_loop(
-        ext_dev, jnp.asarray(st), jnp.asarray(ln), mb, ne, maxlen_b)
-    order = np.asarray(order)
-    grp = np.asarray(grp)
-    # strip pads (they form the first group: length-0 records)
-    real = np.asarray(ln)[order] > 0
-    order = order[real]
-    grp = grp[real]
-    grp = grp - grp[0]  # renumber from 0
-    return order, grp
+    m = int(st_np.size)
+    keys = [ext_np[s:s + l].tobytes()
+            for s, l in zip(st_np.tolist(), ln_np.tolist())]
+    order = sorted(range(m), key=keys.__getitem__)
+    grp = np.empty(m, np.int32)
+    g = -1
+    prev = None
+    for rank, rec in enumerate(order):
+        k = keys[rec]
+        if k != prev:
+            g += 1
+            prev = k
+        grp[rank] = g
+    return np.asarray(order, dtype=np.int32), grp
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +213,7 @@ class PFPData:
 
 
 def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
+    phase = _phase_logger()
     n_text = int(text_np.size)
     ext_np = np.concatenate([
         np.full(1, DOLLAR_PFP, np.uint8), text_np,
@@ -274,8 +222,11 @@ def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
     ext_pad = np.zeros(ne, np.uint8)
     ext_pad[:ext_np.size] = ext_np
     ext = jnp.asarray(ext_pad)
+    ext.block_until_ready()
+    phase("  ext_upload")
 
     breaks = compute_breaks(text_np, w, mod)  # text coords
+    phase("  breaks")
     k = breaks.size
     m = k + 1
     # phrase records in ext coords (inclusive end)
@@ -288,7 +239,8 @@ def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
     en[-1] = n_text + w
     ln = en - st + 1
 
-    order, grp = sort_phrases(ext, st, ln, ne)
+    order, grp = sort_phrases(ext_pad, st, ln)
+    phase("  phrase_sort")
     num_phrases = int(grp[-1]) + 1 if order.size else 0
     # unique phrase reps (first record of each group in sorted order)
     first = np.concatenate([[True], grp[1:] != grp[:-1]])
