@@ -522,13 +522,20 @@ def _expand_and_analyze(parse, tstart, phrase_ln, d_starts, cumcnt,
         slots, mode="drop")
     occ = jax.lax.cummax(occ_fill)
     pad = r >= total_rows
-    o = r - jnp.take(cumcnt, occ) + 1
-    pid = jnp.take(parse, occ)
-    dictpos = jnp.take(d_starts, pid) + o
-    suf_len = jnp.take(phrase_ln, pid) - o
-    ssa = jnp.minimum(jnp.take(tstart, occ) + o, n_text)
+    # fold the per-occurrence lookups into four precomputed mp-sized tables
+    # (o = r - cumcnt[occ] + 1 distributes into each): 4 O(nr) gathers
+    # instead of 6
+    base = cumcnt[:-1]
+    pid_tab = parse[:mp1 - 1]
+    t_tab = tstart - base + 1                      # ssa = r + t_tab[occ]
+    d_tab = jnp.take(d_starts, pid_tab) - base + 1  # dictpos = r + d_tab[occ]
+    s_tab = jnp.take(phrase_ln, pid_tab) + base - 1  # suf_len = s_tab[occ] - r
+    k2_tab = jnp.concatenate([isaP[1:mp1 - 1], jnp.zeros((1,), jnp.int32)])
+    dictpos = r + jnp.take(d_tab, occ)
+    suf_len = jnp.take(s_tab, occ) - r
+    ssa = jnp.minimum(r + jnp.take(t_tab, occ), n_text)
 
-    key2 = jnp.where(pad, 0, jnp.take(isaP, jnp.clip(occ + 1, 0, isaP.shape[0] - 1)))
+    key2 = jnp.where(pad, 0, jnp.take(k2_tab, occ))
     if nd < (1 << 24):
         # pack (group id, previous dict char) into one int32 table: one
         # O(nr) gather instead of two, and (suf_len, bwt) into one sort
