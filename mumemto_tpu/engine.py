@@ -128,14 +128,14 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
             pfp, rb.doc_ends, rb.num_docs,
             jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
             jnp.int32(opts.max_total_freq), opts.max_doc_freq,
-            size_cap=size_cap)
+            size_cap=size_cap, need_ctx=opts.merge)
     elif backend == "pfp":
         from mumemto_tpu.ops import pfp as ops_pfp
         res, counts, n = ops_pfp.scan_collection_pfp(
             rb.text, rb.doc_ends, rb.num_docs,
             jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
             jnp.int32(opts.max_total_freq), opts.max_doc_freq,
-            w=pfp_w, mod=pfp_mod, size_cap=size_cap)
+            w=pfp_w, mod=pfp_mod, size_cap=size_cap, need_ctx=opts.merge)
     else:
         n_real = int(rb.text.size)
         n = pad_size(n_real)
@@ -146,7 +146,7 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
             n, rb.num_docs,
             jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
             jnp.int32(opts.max_total_freq), opts.max_doc_freq,
-            size_cap=size_cap)
+            size_cap=size_cap, need_ctx=opts.merge)
     phase("scan_dispatch")
     n_emit, n_cand, n_runs = (int(x) for x in np.asarray(counts))
     phase("counts_sync")
@@ -222,7 +222,8 @@ def find_matches_from_arrays(sa, lcp, bwt, da, rb, opts: MatchOptions) -> MatchR
         jnp.asarray(bwt), n,
         jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
         jnp.int32(opts.max_total_freq), opts.max_doc_freq,
-        size_cap=interval_size_cap(opts, rb.num_docs))
+        size_cap=interval_size_cap(opts, rb.num_docs),
+        need_ctx=opts.merge)
     cand = np.array(res["cand"])
     emit = np.array(res["emit"])
     s_all = np.asarray(res["s"])

@@ -174,11 +174,12 @@ def _leftmost_mask(e: jax.Array, lcp: jax.Array, n: int) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "max_doc_freq", "size_cap"))
+                   static_argnames=("n", "max_doc_freq", "size_cap",
+                                    "need_ctx"))
 def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
                       n: int, min_match_len, num_distinct,
                       max_total_freq, max_doc_freq: int,
-                      size_cap: int | None = None):
+                      size_cap: int | None = None, need_ctx: bool = True):
     """Evaluate every candidate LCP interval; returns per-boundary arrays.
 
     Returns dict of n-sized arrays:
@@ -249,8 +250,13 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
 
     cand = is_cand & leftmost & closed & cond_size & cond_freq & doc_freq_ok
 
-    prev_ctx = jnp.take(lcp, jnp.clip(s, 0, n - 1))
-    next_ctx = jnp.take(lcp, jnp.clip(e, 0, n - 1))
+    if need_ctx:
+        # merge-threshold inputs (mem_finder.hpp:311-347) — two O(n)
+        # gathers only paid when merge metadata is requested
+        prev_ctx = jnp.take(lcp, jnp.clip(s, 0, n - 1))
+        next_ctx = jnp.take(lcp, jnp.clip(e, 0, n - 1))
+    else:
+        prev_ctx = next_ctx = jnp.zeros((n,), jnp.int32)
 
     return {
         "cand": cand,

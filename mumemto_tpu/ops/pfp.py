@@ -375,7 +375,7 @@ def _phase_logger():
 
 def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
              min_match_len, num_distinct, max_total_freq, max_doc_freq: int,
-             size_cap: int | None = None):
+             size_cap: int | None = None, need_ctx: bool = True):
     """Full PFP expansion + interval scan; returns (res, counts, n_rows_pad)
     compatible with ops/pipeline compaction. Device-resident throughout:
     the only host<->device traffic is small per-phrase uploads."""
@@ -470,7 +470,7 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
         jnp.asarray(doc_ends.astype(np.int32)),
         nr, nd, w, num_docs,
         jnp.int32(min_match_len), jnp.int32(num_distinct),
-        jnp.int32(max_total_freq), max_doc_freq, size_cap)
+        jnp.int32(max_total_freq), max_doc_freq, size_cap, need_ctx)
     phase("expand_analyze", counts)
     return res, counts, nr
 
@@ -499,14 +499,15 @@ def _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
 @functools.partial(
     jax.jit,
     static_argnames=("nr", "nd", "w", "num_docs",
-                     "max_doc_freq", "size_cap"))
+                     "max_doc_freq", "size_cap", "need_ctx"))
 def _expand_and_analyze(parse, tstart, phrase_ln, d_starts, cumcnt,
                         m, total_rows, n_text, isaP,
                         grp_of_pos, d, slt_table, grp_cross,
                         doc_ends, nr: int, nd: int,
                         w: int, num_docs: int,
                         min_match_len, num_distinct, max_total_freq,
-                        max_doc_freq: int, size_cap: int | None = None):
+                        max_doc_freq: int, size_cap: int | None = None,
+                        need_ctx: bool = True):
     """Expand (occurrence, offset) rows, sort into SA order, compute LCP,
     and run the interval analysis. m (occurrence count), total_rows and
     n_text are traced so all inputs in a shape bucket share one compile;
@@ -579,7 +580,7 @@ def _expand_and_analyze(parse, tstart, phrase_ln, d_starts, cumcnt,
     res = ops_intervals.analyze_intervals(
         lcp, da, bwts.astype(jnp.uint8), nr,
         min_match_len, num_distinct, max_total_freq, max_doc_freq,
-        size_cap=size_cap)
+        size_cap=size_cap, need_ctx=need_ctx)
     res["sa"] = ssas
     res["da"] = da
     res["lcp"] = lcp
@@ -596,13 +597,14 @@ def scan_collection_pfp(text_np: np.ndarray, doc_ends: np.ndarray,
                         num_docs: int, min_match_len, num_distinct,
                         max_total_freq, max_doc_freq: int,
                         w: int = 10, mod: int = 100,
-                        size_cap: int | None = None):
+                        size_cap: int | None = None, need_ctx: bool = True):
     """Drop-in alternative to ops/pipeline.scan_collection via PFP."""
     phase = _phase_logger()
     pfp = build_pfp(text_np, w=w, mod=mod)
     phase("build_pfp")
     return pfp_scan(pfp, doc_ends, num_docs, min_match_len, num_distinct,
-                    max_total_freq, max_doc_freq, size_cap=size_cap)
+                    max_total_freq, max_doc_freq, size_cap=size_cap,
+                    need_ctx=need_ctx)
 
 
 # ---------------------------------------------------------------------------

@@ -23,10 +23,11 @@ from mumemto_tpu.ops import suffix as ops_suffix
 
 
 @functools.partial(jax.jit, static_argnames=("n", "num_docs", "max_doc_freq",
-                                              "size_cap"))
+                                              "size_cap", "need_ctx"))
 def scan_collection(text, doc_ends, n: int, num_docs: int,
                     min_match_len, num_distinct, max_total_freq,
-                    max_doc_freq: int, size_cap: int | None = None):
+                    max_doc_freq: int, size_cap: int | None = None,
+                    need_ctx: bool = True):
     sa, hist, num_lvl = ops_suffix._suffix_array_impl(text, n, packed_init=True)
     lcp = ops_suffix._lcp_impl(sa, hist, num_lvl, n)
     bwt = jnp.take(text, (sa + (n - 1)) % n)
@@ -35,7 +36,7 @@ def scan_collection(text, doc_ends, n: int, num_docs: int,
     ).astype(jnp.int32)
     res = ops_intervals.analyze_intervals(
         lcp, da, bwt, n, min_match_len, num_distinct, max_total_freq,
-        max_doc_freq, size_cap=size_cap)
+        max_doc_freq, size_cap=size_cap, need_ctx=need_ctx)
     res["sa"] = sa
     res["da"] = da
     res["lcp"] = lcp
