@@ -176,17 +176,20 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
                                ops_pipeline.compact_fields(res, n, M))
         maxw = int((e0[:n_emit] - s0[:n_emit]).max()) if n_emit else 1
         W = ops_pipeline.bucket(maxw, lo=8)
-        _, s, e, L, w_sa, w_da, w_prev, valid, real = (
-            np.asarray(x) for x in ops_pipeline.compact_windows(res, n, M, W))
+        s, e, L, w_sa, w_da, w_prev = (
+            np.asarray(x)
+            for x in ops_pipeline.compact_windows_mem(res, n, M, W))
         m = n_emit
+        valid = (s[:m, None] + np.arange(W)) < e[:m, None]
+        w_da = w_da.astype(np.int32)
         keep = np.ones(m, dtype=bool)
         if opts.max_doc_freq != 1 and m:
             # deferred distinct-count (check_doc_range unique >= k,
             # mem_finder.hpp:265-289)
-            unique = (valid[:m] & (w_prev[:m] < s[:m, None])).sum(axis=1)
+            unique = (valid & (w_prev[:m] < s[:m, None])).sum(axis=1)
             keep = unique >= opts.num_distinct
         _emit_mems(results, s[:m][keep], e[:m][keep], L[:m][keep],
-                   w_sa[:m][keep], w_da[:m][keep], valid[:m][keep],
+                   w_sa[:m][keep], w_da[:m][keep], valid[keep],
                    opts, doc_offsets, doc_lens)
 
     if opts.merge:

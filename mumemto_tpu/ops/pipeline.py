@@ -61,24 +61,6 @@ def _select_ordered(mask, e, lcp, n: int, M: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "M", "W"))
-def compact_windows(res, n: int, M: int, W: int):
-    """Gather the first M emitted intervals (pop order) + their SA-row
-    windows of width W. Returns (idx, s, e, L, w_sa, w_da, w_prev, valid)."""
-    idx = _select_ordered(res["emit"], res["e"], res["L"], n, M)
-    s = jnp.take(res["s"], idx)
-    e = jnp.take(res["e"], idx)
-    L = jnp.take(res["L"], idx)
-    real = jnp.take(res["emit"], idx)
-    cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    valid = (cols < e[:, None]) & real[:, None]
-    colc = jnp.clip(cols, 0, n - 1)
-    w_sa = jnp.take(res["sa"], colc)
-    w_da = jnp.take(res["da"], colc)
-    w_prev = jnp.take(res["prev_same"], colc)
-    return idx, s, e, L, w_sa, w_da, w_prev, valid, real
-
-
-@functools.partial(jax.jit, static_argnames=("n", "M", "W"))
 def compact_windows_mum(res, n: int, M: int, W: int):
     """MUM-mode compaction: only the fields the host writer consumes, in
     compact dtypes — the device->host link is ~10 MB/s, so the readback
@@ -92,6 +74,23 @@ def compact_windows_mum(res, n: int, M: int, W: int):
     w_sa = jnp.take(res["sa"], colc)
     w_da = jnp.take(res["da"], colc).astype(jnp.int16)
     return s, e, L, w_sa, w_da
+
+
+@functools.partial(jax.jit, static_argnames=("n", "M", "W"))
+def compact_windows_mem(res, n: int, M: int, W: int):
+    """MEM-mode compaction: fields the host emitter consumes, compact
+    dtypes (w_da/int16; prev-same-doc pointers needed for the deferred
+    distinct-doc check)."""
+    idx = _select_ordered(res["emit"], res["e"], res["L"], n, M)
+    s = jnp.take(res["s"], idx)
+    e = jnp.take(res["e"], idx)
+    L = jnp.take(res["L"], idx)
+    cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    colc = jnp.clip(cols, 0, n - 1)
+    w_sa = jnp.take(res["sa"], colc)
+    w_da = jnp.take(res["da"], colc).astype(jnp.int16)
+    w_prev = jnp.take(res["prev_same"], colc)
+    return s, e, L, w_sa, w_da, w_prev
 
 
 @functools.partial(jax.jit, static_argnames=("n", "M"))
