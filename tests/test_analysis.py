@@ -196,3 +196,13 @@ def test_convert_thresh_roundtrip(rng, tmp_path):
     md_sorted = MUMdata(out + ".mums", sort=True)
     L, S, T = formats.parse_mums(out + "_conv.mums", 3)
     assert (S[:, 0] == md_sorted.starts[:, 0]).all()
+
+
+def test_viz_multifasta_modes(multirecord_build):
+    """delineated and gapped multi-FASTA viz modes (viz_mums.py:160-296)."""
+    tmp_path, out = multirecord_build
+    for mode in ("delineated", "gapped"):
+        png = str(tmp_path / f"synteny_{mode}.png")
+        assert cli.main(["viz", "-m", out + ".mums", "-l", out + ".lengths",
+                         "-o", png, "--mode", mode]) == 0
+        assert open(png, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"

@@ -128,3 +128,25 @@ def test_library_api(rng):
     assert len(r2) > 0
     L, pos, ids, st = r2[0]
     assert len(pos) == len(ids) == len(st)
+
+
+def test_ambiguous_bases_match_oracle(rng):
+    """N (and other IUPAC) bases are ordinary characters in the reference
+    (gsacak compares raw bytes; N complements to N) — N==N can extend
+    matches. Engine must agree with the oracle byte-for-byte."""
+    base = list(rand_seq(rng, 300))
+    for _ in range(12):
+        base[int(rng.integers(0, len(base)))] = "N"
+    base = "".join(base)
+    docs = []
+    for _ in range(3):
+        s = list(base)
+        for _ in range(4):
+            s[int(rng.integers(0, len(s)))] = rng.choice(list("ACGTN"))
+        docs.append(["".join(s)])
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    want = naive.oracle_output(rb, opts)
+    got = engine.find_matches(rb, opts).output_bytes()
+    assert want == got
+    assert want
