@@ -237,7 +237,8 @@ def first_offsets(path: str, num_docs: int | None = None):
             line = raw.rstrip(b"\n")
             if not line:
                 continue
-            fl, fp, fs = line.split(b"\t")
+            cols = line.split(b"\t")  # tolerate extra columns (blocks/labels)
+            fl, fp, fs = cols[0], cols[1], cols[2]
             lens.append(int(fl))
             p0 = fp.split(b",", 1)[0]
             s0 = fs.split(b",", 1)[0]

@@ -23,13 +23,8 @@ def get_native():
     _tried = True
     if os.environ.get("MUMEMTO_TPU_NO_NATIVE"):
         return None
-    try:
-        from mumemto_tpu import _native as mod  # built .so in the package
-        _native = mod
-        return _native
-    except ImportError:
-        pass
-    # lazily build once per checkout
+    # build (or staleness-check) FIRST: importing before checking would
+    # happily load a stale .so built from older sources
     try:
         import importlib.util
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -37,12 +32,14 @@ def get_native():
             "mumemto_tpu_native_build", os.path.join(root, "native", "build.py"))
         _build = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(_build)
-        if _build.build(quiet=True):
-            try:
-                from mumemto_tpu import _native as mod
-                _native = mod
-            except ImportError:
-                _native = None
+        fresh = _build.build(quiet=True)
     except Exception:
+        fresh = False
+    if not fresh:
+        return None
+    try:
+        from mumemto_tpu import _native as mod
+        _native = mod
+    except ImportError:
         _native = None
     return _native

@@ -354,6 +354,27 @@ def _isa_dev(sa: jax.Array, n: int) -> jax.Array:
         jnp.arange(n, dtype=jnp.int32))
 
 
+def _pad_phrase_arrays(pfp: PFPData):
+    """Bucket-pad the per-phrase arrays for _dict_setup (shared by the scan
+    and -P checkpoint paths): zero-length pad phrases whose d_starts sit at
+    the end-of-dictionary sentinel. Returns
+    (phrase_st, phrase_ln, d_starts_pad, npz, total_real, nd)."""
+    d_starts = _dict_starts(pfp.phrase_ln)
+    # +4 trailing TERM pads: the packed-init SA seed reads up to 3 chars
+    # past a suffix start (ops/suffix.py packed contract)
+    nd = bucket(pfp.d_len + 4)
+    npz = pfp.num_phrases
+    npzb = bucket(npz + 1, lo=64) - 1
+    total_real = pfp.d_len - 1  # end of the last block incl. its SEP
+    phrase_st = np.zeros(npzb + 1, np.int32)
+    phrase_ln = np.zeros(npzb + 1, np.int32)
+    d_starts_pad = np.full(npzb + 1, total_real, np.int32)
+    phrase_st[:npz + 1] = pfp.phrase_st
+    phrase_ln[:npz + 1] = pfp.phrase_ln
+    d_starts_pad[:npz + 1] = d_starts
+    return phrase_st, phrase_ln, d_starts_pad, npz, total_real, nd
+
+
 def _phase_logger():
     """MUMEMTO_TPU_PROFILE=1: per-stage wall times to stderr (each stage is
     synced with block_until_ready, so timings are true device costs)."""
@@ -381,23 +402,11 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     the only host<->device traffic is small per-phrase uploads."""
     phase = _phase_logger()
     w = pfp.w
-    # --- dictionary string + SA/LCP
-    d_starts = _dict_starts(pfp.phrase_ln)
-    # +4 trailing TERM pads: the packed-init SA seed reads up to 3 chars
-    # past a suffix start (ops/suffix.py packed contract)
-    nd = bucket(pfp.d_len + 4)
-    # bucket-pad the per-phrase arrays so every program in this pipeline is
-    # shape-stable across inputs (compiles through the tunneled device cost
-    # minutes; data-dependent shapes/statics would recompile per dataset)
-    npz = pfp.num_phrases
-    npzb = bucket(npz + 1, lo=64) - 1
-    total_real = pfp.d_len - 1  # end of the last block incl. its SEP
-    phrase_st = np.zeros(npzb + 1, np.int32)
-    phrase_ln = np.zeros(npzb + 1, np.int32)
-    d_starts_pad = np.full(npzb + 1, total_real, np.int32)
-    phrase_st[:npz + 1] = pfp.phrase_st
-    phrase_ln[:npz + 1] = pfp.phrase_ln
-    d_starts_pad[:npz + 1] = d_starts
+    # --- dictionary string + SA/LCP; bucket-padded phrase arrays keep every
+    # program shape-stable across inputs (compiles through the tunneled
+    # device cost minutes)
+    phrase_st, phrase_ln, d_starts_pad, npz, total_real, nd = \
+        _pad_phrase_arrays(pfp)
     d_starts_dev = jnp.asarray(d_starts_pad)
     phrase_ln_dev = jnp.asarray(phrase_ln)
     d, pid_by_pos, off_by_pos, plen_of_pos = _dict_setup(
@@ -615,20 +624,12 @@ def write_parse_files(rb, prefix: str, w: int = 10, mod: int = 100) -> None:
     """-P/--only-parse: write .dict (phrases + EndOfWord each + EndOfDict)
     and .parse (u32 ranks)."""
     pfp = build_pfp(rb.text, w=w, mod=mod)
-    d_starts = _dict_starts(pfp.phrase_ln)
-    nd = bucket(pfp.d_len + 4)
-    npz = pfp.num_phrases
-    npzb = bucket(npz + 1, lo=64) - 1
-    phrase_st = np.zeros(npzb + 1, np.int32)
-    phrase_ln = np.zeros(npzb + 1, np.int32)
-    d_starts_pad = np.full(npzb + 1, pfp.d_len - 1, np.int32)
-    phrase_st[:npz + 1] = pfp.phrase_st
-    phrase_ln[:npz + 1] = pfp.phrase_ln
-    d_starts_pad[:npz + 1] = d_starts
+    phrase_st, phrase_ln, d_starts_pad, npz, total_real, nd = \
+        _pad_phrase_arrays(pfp)
     d = np.asarray(_dict_setup(
         pfp.ext, jnp.asarray(phrase_st), jnp.asarray(phrase_ln),
         jnp.asarray(d_starts_pad), jnp.int32(npz),
-        jnp.int32(pfp.d_len - 1), nd, pfp.ext.shape[0])[0])
+        jnp.int32(total_real), nd, pfp.ext.shape[0])[0])
     with open(prefix + ".dict", "wb") as f:
         f.write(d[:pfp.d_len].tobytes())
     with open(prefix + ".parse", "wb") as f:

@@ -72,7 +72,10 @@ def compact_windows_mum(res, n: int, M: int, W: int):
     cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     colc = jnp.clip(cols, 0, n - 1)
     w_sa = jnp.take(res["sa"], colc)
-    w_da = jnp.take(res["da"], colc).astype(jnp.int16)
+    # int16 readback only when doc ids (incl. the num_docs pad sentinel)
+    # fit; gigantic collections keep int32
+    da_dt = jnp.int16 if W < 32767 else jnp.int32
+    w_da = jnp.take(res["da"], colc).astype(da_dt)
     return s, e, L, w_sa, w_da
 
 
@@ -88,7 +91,8 @@ def compact_windows_mem(res, n: int, M: int, W: int):
     cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     colc = jnp.clip(cols, 0, n - 1)
     w_sa = jnp.take(res["sa"], colc)
-    w_da = jnp.take(res["da"], colc).astype(jnp.int16)
+    da_dt = jnp.int16 if W < 32767 else jnp.int32
+    w_da = jnp.take(res["da"], colc).astype(da_dt)
     w_prev = jnp.take(res["prev_same"], colc)
     return s, e, L, w_sa, w_da, w_prev
 

@@ -55,7 +55,8 @@ def read_fasta(path: str):
             if line.startswith(b">"):
                 if name is not None:
                     seqs.append(b"".join(chunks))
-                name = line[1:].split()[0].decode() if len(line) > 1 else ""
+                parts = line[1:].split()
+                name = parts[0].decode() if parts else ""
                 names.append(name)
                 chunks = []
             elif line.startswith(b";"):

@@ -25,7 +25,13 @@ def stale() -> bool:
 
 
 def build(force: bool = False, quiet: bool = False) -> bool:
-    """Compile if missing/stale. Returns True when OUT exists afterwards."""
+    """Compile if missing/stale. Returns True only when OUT is FRESH —
+    a failed compile with a stale .so on disk returns False (and removes
+    the stale binary) so callers fall back to the pure-Python path rather
+    than silently importing outdated native code."""
+    if not os.path.exists(SRC):
+        # no sources shipped: trust a prebuilt .so if present
+        return os.path.exists(OUT)
     if not force and not stale():
         return True
     include = sysconfig.get_paths()["include"]
@@ -38,11 +44,16 @@ def build(force: bool = False, quiet: bool = False) -> bool:
     except (OSError, subprocess.TimeoutExpired) as e:
         if not quiet:
             print(f"[native] build failed to launch: {e}", file=sys.stderr)
-        return os.path.exists(OUT)
-    if res.returncode != 0:
-        if not quiet:
+        res = None
+    if res is None or res.returncode != 0:
+        if res is not None and not quiet:
             print(f"[native] g++ failed:\n{res.stderr}", file=sys.stderr)
-        return os.path.exists(OUT)
+        if os.path.exists(OUT):
+            try:
+                os.remove(OUT)  # never import a stale binary
+            except OSError:
+                pass
+        return False
     return True
 
 

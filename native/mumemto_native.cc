@@ -112,7 +112,9 @@ bool parse_fasta(const char* path, std::string* seq,
             names->push_back(name);
             st = LINE_START;
           } else if (c == ' ' || c == '\t') {
-            st = IN_HEADER_REST;
+            // skip leading whitespace ("> name desc" -> "name", matching
+            // the Python reader's line[1:].split()[0] semantics)
+            if (!name.empty()) st = IN_HEADER_REST;
           } else {
             name.push_back(static_cast<char>(c));
           }

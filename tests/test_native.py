@@ -24,6 +24,8 @@ CASES = [
     ">only\nACGTACGTACGT",
     # record with empty body then another
     ">empty\n>full\nGGGG\n",
+    # whitespace right after '>' (name = first word, not empty)
+    "> name desc\nACGT\n>\t tabbed\nGGCC\n",
 ]
 
 
