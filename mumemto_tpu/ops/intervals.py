@@ -204,7 +204,8 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
     Lv = lcp
     is_cand = lcp >= min_match_len
 
-    if size_cap is not None and size_cap <= 128:
+    windowed = size_cap is not None and size_cap <= 128
+    if windowed:
         # shifted-slice window scan: gather-free, fully fusable
         s, e = _psv_nsv_windowed(lcp, n, size_cap)
     else:
@@ -225,7 +226,18 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
             e_found = (e < n) & (jnp.take(lcp, jnp.clip(e, 0, n - 1)) < Lv)
             e = jnp.where(s_found & e_found, e, n)
     closed = e < n
-    leftmost = _leftmost_mask(e, lcp, n)
+    if windowed:
+        # p is the leftmost boundary of its interval iff every lcp in
+        # (s, p) is strictly greater than L (an equal value q there would
+        # share (s, e, L)); p - s < cap, so cap-1 shifted compares replace
+        # the (e, L) sort+scatter dedup
+        leftmost = jnp.ones((n,), bool)
+        for k in range(1, size_cap):
+            left = jnp.concatenate([jnp.zeros((k,), jnp.int32), lcp[:-k]])
+            inside = (p - k) > s
+            leftmost &= (~inside) | (left > Lv)
+    else:
+        leftmost = _leftmost_mask(e, lcp, n)
 
     size = e - s
     cond_size = size >= num_distinct
@@ -240,12 +252,26 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
     lm = jnp.take(last_change, jnp.clip(e - 1, 0, n - 1)) > s
 
     # per-doc frequency cap: violated iff some doc occurs > f times in [s, e)
-    prev = prev_same_doc(da)
-    if max_doc_freq > 0:
+    if windowed and max_doc_freq == 1:
+        # a duplicate-doc pair inside an interval is < cap rows apart, so
+        # the prev-same-doc pointer only needs window-local accuracy:
+        # cap-1 shifted compares instead of a 2-operand sort + scatter
+        prev = jnp.full((n,), -1, jnp.int32)
+        found = jnp.zeros((n,), bool)
+        for k in range(1, size_cap):
+            left = jnp.concatenate([jnp.full((k,), -1, jnp.int32), da[:-k]])
+            hit = (~found) & (left == da)
+            prev = jnp.where(hit, p - k, prev)
+            found |= hit
+        mindup = _first_violation_from(prev)
+        doc_freq_ok = jnp.take(mindup, jnp.clip(s, 0, n - 1)) >= e
+    elif max_doc_freq > 0:
+        prev = prev_same_doc(da)
         prevf = _compose_prev(prev, max_doc_freq)
         mindup = _first_violation_from(prevf)
         doc_freq_ok = jnp.take(mindup, jnp.clip(s, 0, n - 1)) >= e
     else:
+        prev = prev_same_doc(da)
         doc_freq_ok = jnp.ones((n,), bool)
 
     cand = is_cand & leftmost & closed & cond_size & cond_freq & doc_freq_ok
