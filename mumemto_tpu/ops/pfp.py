@@ -102,7 +102,13 @@ def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
     nb = bucket(n)
     padded = np.zeros(nb, dtype=np.uint8)
     padded[:n] = text_np
-    mask, count = _break_mask(jnp.asarray(padded), jnp.int32(n), w, mod, nb)
+    from mumemto_tpu.ops import pallas_kernels
+    if pallas_kernels.use_pallas() and nb % pallas_kernels.BLK == 0:
+        mask, count = pallas_kernels.break_mask_pallas(
+            jnp.asarray(padded), jnp.int32(n), w, mod, nb)
+    else:
+        mask, count = _break_mask(jnp.asarray(padded), jnp.int32(n), w,
+                                  mod, nb)
     k = int(count)
     phase("    break_mask+count")
     # a break on the very last char would make the final phrase exactly the
