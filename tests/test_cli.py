@@ -100,6 +100,21 @@ def test_only_parse_then_resume(fasta_dir):
     assert (tmp_path / "resumed.mums").read_bytes() == want
 
 
+def test_arrays_out_then_replay(fasta_dir):
+    """-A writes 5-byte .sa/.lcp + RL .bwt; -a replays them and must
+    produce the same .mums (pfp_mum.cpp:97-110 checkpoint cycle)."""
+    tmp_path, paths = fasta_dir
+    out = str(tmp_path / "arr")
+    assert cli.main(paths + ["-o", out, "-A"]) == 0
+    for ext in (".sa", ".lcp", ".bwt", ".mums", ".lengths"):
+        assert (tmp_path / ("arr" + ext)).exists(), ext
+    want = (tmp_path / "arr.mums").read_bytes()
+    out2 = str(tmp_path / "arr_replayed")
+    assert cli.main(["-a", out, "-o", out2]) == 0
+    assert (tmp_path / "arr_replayed.mums").read_bytes() == want
+    assert want
+
+
 def test_mori(capsys):
     assert cli.main(["mori"]) == 0
     assert "," in capsys.readouterr().out
