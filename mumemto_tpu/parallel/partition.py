@@ -121,6 +121,41 @@ def _partition_scan_matches(text, doc_ends, num_docs: int, min_match_len,
     return count, s, e, L, w_sa, w_da
 
 
+def compile_sharded_scan(mesh, n: int, num_docs: int,
+                         min_match_len: int = 20,
+                         num_distinct: int | None = None, M: int = 4096):
+    """Sequence-parallel scan of ONE collection: the padded text is sharded
+    over the mesh's LAST axis ('seq' when present, else the only axis) and
+    the whole index+interval program runs under GSPMD — XLA inserts the
+    collectives (the distributed sort is the heavy step). Returns compacted
+    MUM windows, identical to the single-device result.
+
+    This is the long-context analog of the reference's partition scheme:
+    instead of splitting the COLLECTION across processes, the SA-row space
+    of one collection is split across chips."""
+    from mumemto_tpu.ops import pipeline as ops_pipeline
+
+    if num_distinct is None:
+        num_distinct = num_docs
+    axis = mesh.axis_names[-1]
+    text_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def step(text, doc_ends):
+        res, counts = ops_pipeline.scan_collection(
+            text, doc_ends, n, num_docs,
+            jnp.int32(min_match_len), jnp.int32(num_distinct),
+            jnp.int32(num_docs), 1,
+            size_cap=1 << max(int(num_docs).bit_length(), 2),
+            need_ctx=False)
+        s, e, L, w_sa, w_da = ops_pipeline.compact_windows_mum(
+            res, n, M, num_docs)
+        return counts, s, e, L, w_sa, w_da
+
+    return jax.jit(step, in_shardings=(text_sh, rep),
+                   out_shardings=(rep,) * 6)
+
+
 def compile_partitioned_matches(mesh, num_docs: int, M: int = 4096,
                                 min_match_len: int = 20,
                                 num_distinct: int | None = None):

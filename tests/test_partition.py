@@ -51,3 +51,37 @@ def test_partitioned_matches_equal_engine(rng):
         # raw emit counts both orientations; the writer's strand
         # canonicalization (mem_finder.hpp:383-391) keeps one of each
         assert len(results.lengths) == want.num_matches
+
+
+def test_sharded_scan_equals_single_device(rng):
+    """Sequence-parallel (text sharded over all devices) == single-device
+    scan, byte-for-byte through the writer."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    num_docs, n = 3, 8192
+    docs = mutated_collection(np.random.default_rng(7), num_docs,
+                              base_len=900)
+    rb = refbuilder.build_from_sequences(docs)
+    assert rb.text.size <= n
+    text = np.zeros(n, dtype=np.uint8)
+    text[: rb.text.size] = rb.text
+    mesh = Mesh(np.asarray(jax.devices()), ("seq",))
+
+    fn = partition.compile_sharded_scan(mesh, n, num_docs, M=256)
+    counts, s, e, L, w_sa, w_da = (np.asarray(x) for x in
+                                   fn(jnp.asarray(text),
+                                      jnp.asarray(rb.doc_ends,
+                                                  dtype=jnp.int32)))
+    m = int(counts[0])
+    opts = options.normalize(num_docs, quiet=True)
+    results = engine.MatchResults(opts=opts, num_docs=num_docs)
+    doc_offsets, doc_lens = engine._doc_metadata(rb, opts)
+    valid = (s[:m, None] + np.arange(num_docs)) < e[:m, None]
+    engine._emit_mums(results, s[:m], e[:m], L[:m], w_sa[:m],
+                      w_da[:m].astype(np.int32), valid, opts,
+                      doc_offsets, doc_lens, num_docs)
+    want = engine.find_matches(rb, opts, backend="direct")
+    assert results.output_bytes() == want.output_bytes()
+    assert len(results.lengths) == want.num_matches
