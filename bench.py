@@ -13,6 +13,10 @@ Workload: synthetic pangenome of N_DOCS mutated copies of a base genome
 config 1 scaled to MUMEMTO_BENCH_MBP megabases.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import json
 import os
 import sys
