@@ -9,8 +9,11 @@ provisional single-core C++ figure for the full PFP+SA+MUM pipeline is
 until a real measurement exists (first act per SURVEY.md §6 once buildable).
 
 Workload: synthetic pangenome of N_DOCS mutated copies of a base genome
-(SNP rate ~0.5%), revcomp on, strict multi-MUMs — the shape of BASELINE
-config 1 scaled to MUMEMTO_BENCH_MBP megabases.
+(0.1% SNP divergence, the human-haplotype regime of the reference's
+headline runs), revcomp on, strict multi-MUMs — the shape of BASELINE
+configs 1/5 scaled to MUMEMTO_BENCH_MBP megabases. Overrides:
+MUMEMTO_BENCH_{MBP,DOCS,REPS,SNP,W,MOD}; MUMEMTO_TPU_PROFILE=1 prints
+per-stage device timings.
 """
 
 import os as _os
