@@ -162,7 +162,8 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
         M = ops_pipeline.bucket(n_emit)
         s, e, L, w_sa, w_da = (
             np.asarray(x)
-            for x in ops_pipeline.compact_windows_mum(res, n, M, W))
+            for x in ops_pipeline.compact_windows_mum(res, n, M, W,
+                                                      rb.num_docs))
         phase("compact_readback")
         m = n_emit
         valid = (s[:m, None] + np.arange(W)) < e[:m, None]
@@ -178,7 +179,8 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
         W = ops_pipeline.bucket(maxw, lo=8)
         s, e, L, w_sa, w_da, w_prev = (
             np.asarray(x)
-            for x in ops_pipeline.compact_windows_mem(res, n, M, W))
+            for x in ops_pipeline.compact_windows_mem(res, n, M, W,
+                                                      rb.num_docs))
         m = n_emit
         valid = (s[:m, None] + np.arange(W)) < e[:m, None]
         w_da = w_da.astype(np.int32)

@@ -669,6 +669,17 @@ def pfp_from_parse_files(prefix: str, w: int = 10) -> PFPData:
     body, starts, lens, parse = read_parse_files(prefix)
     num_phrases = int(lens.size)
     m = int(parse.size)
+    if parse.size and (int(parse.min()) < 1 or int(parse.max()) > num_phrases):
+        raise ValueError(
+            f"{prefix}.parse references phrase ids outside the .dict "
+            f"(1..{num_phrases})")
+    # every PFP phrase ends with the w-char trigger window of the next
+    # phrase, so real phrase lengths are >= w+1; shorter ones mean the
+    # files were written with a different window than the caller's w
+    if lens.size and int(lens.min()) <= w:
+        raise ValueError(
+            f"{prefix}.dict contains a phrase of length {int(lens.min())} "
+            f"<= w={w}: window mismatch with the parse files")
     phrase_st = np.zeros(num_phrases + 1, np.int32)
     phrase_ln = np.zeros(num_phrases + 1, np.int32)
     phrase_st[1:] = starts

@@ -60,8 +60,15 @@ def _select_ordered(mask, e, lcp, n: int, M: int):
     return idx[:M]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "M", "W"))
-def compact_windows_mum(res, n: int, M: int, W: int):
+def _da_dtype(num_docs: int):
+    """Readback dtype for doc-id windows: int16 only when every doc id
+    INCLUDING the num_docs pad sentinel fits (the window width W is NOT a
+    bound on the id range — in MEM mode W is the interval size)."""
+    return jnp.int16 if num_docs < 32767 else jnp.int32
+
+
+@functools.partial(jax.jit, static_argnames=("n", "M", "W", "num_docs"))
+def compact_windows_mum(res, n: int, M: int, W: int, num_docs: int):
     """MUM-mode compaction: only the fields the host writer consumes, in
     compact dtypes — the device->host link is ~10 MB/s, so the readback
     payload is (4 + 4 + 2) bytes per window cell instead of 17."""
@@ -72,18 +79,15 @@ def compact_windows_mum(res, n: int, M: int, W: int):
     cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     colc = jnp.clip(cols, 0, n - 1)
     w_sa = jnp.take(res["sa"], colc)
-    # int16 readback only when doc ids (incl. the num_docs pad sentinel)
-    # fit; gigantic collections keep int32
-    da_dt = jnp.int16 if W < 32767 else jnp.int32
-    w_da = jnp.take(res["da"], colc).astype(da_dt)
+    w_da = jnp.take(res["da"], colc).astype(_da_dtype(num_docs))
     return s, e, L, w_sa, w_da
 
 
-@functools.partial(jax.jit, static_argnames=("n", "M", "W"))
-def compact_windows_mem(res, n: int, M: int, W: int):
+@functools.partial(jax.jit, static_argnames=("n", "M", "W", "num_docs"))
+def compact_windows_mem(res, n: int, M: int, W: int, num_docs: int):
     """MEM-mode compaction: fields the host emitter consumes, compact
-    dtypes (w_da/int16; prev-same-doc pointers needed for the deferred
-    distinct-doc check)."""
+    dtypes (w_da sized by num_docs; prev-same-doc pointers needed for the
+    deferred distinct-doc check)."""
     idx = _select_ordered(res["emit"], res["e"], res["L"], n, M)
     s = jnp.take(res["s"], idx)
     e = jnp.take(res["e"], idx)
@@ -91,8 +95,7 @@ def compact_windows_mem(res, n: int, M: int, W: int):
     cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     colc = jnp.clip(cols, 0, n - 1)
     w_sa = jnp.take(res["sa"], colc)
-    da_dt = jnp.int16 if W < 32767 else jnp.int32
-    w_da = jnp.take(res["da"], colc).astype(da_dt)
+    w_da = jnp.take(res["da"], colc).astype(_da_dtype(num_docs))
     w_prev = jnp.take(res["prev_same"], colc)
     return s, e, L, w_sa, w_da, w_prev
 

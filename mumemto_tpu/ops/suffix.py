@@ -149,6 +149,11 @@ def suffix_lcp_arrays(text_padded: np.ndarray | jax.Array):
     every char < 128 (both hold for the engine's padded byte texts).
     """
     n = int(text_padded.shape[0])
+    if isinstance(text_padded, np.ndarray) and text_padded.size:
+        # packed seed contract (cheap host check; device texts are covered
+        # by the refbuilder byte-range validation upstream)
+        assert int(text_padded.max()) < 127, \
+            "packed SA seed requires all chars < 127"
     text = jnp.asarray(text_padded, dtype=jnp.uint8)
     sa, hist, num_lvl = _suffix_array_impl(text, n, packed_init=True)
     lcp = _lcp_impl(sa, hist, num_lvl, n, levels=int(num_lvl))

@@ -117,8 +117,24 @@ def _partition_scan_matches(text, doc_ends, num_docs: int, min_match_len,
     res["da"] = da
     count = res["emit"].sum(dtype=jnp.int32)
     s, e, L, w_sa, w_da = ops_pipeline.compact_windows_mum(
-        res, n, M, num_docs)
+        res, n, M, num_docs, num_docs)
     return count, s, e, L, w_sa, w_da
+
+
+class WindowCapacityError(RuntimeError):
+    """A compiled fixed-capacity match buffer (M) overflowed."""
+
+
+def _check_capacity(emit_counts, M: int, what: str):
+    """No silent caps: _select_ordered pads/truncates to M entries, so any
+    emit count > M would silently drop matches. Verify from the (tiny)
+    counts readback and fail loudly with the needed capacity."""
+    c = np.atleast_1d(np.asarray(emit_counts))
+    worst = int(c.max()) if c.size else 0
+    if worst > M:
+        raise WindowCapacityError(
+            f"{what}: {worst} matches exceed the compiled window capacity "
+            f"M={M}; recompile with M >= {worst}")
 
 
 def compile_sharded_scan(mesh, n: int, num_docs: int,
@@ -149,11 +165,18 @@ def compile_sharded_scan(mesh, n: int, num_docs: int,
             size_cap=1 << max(int(num_docs).bit_length(), 2),
             need_ctx=False)
         s, e, L, w_sa, w_da = ops_pipeline.compact_windows_mum(
-            res, n, M, num_docs)
+            res, n, M, num_docs, num_docs)
         return counts, s, e, L, w_sa, w_da
 
-    return jax.jit(step, in_shardings=(text_sh, rep),
-                   out_shardings=(rep,) * 6)
+    jitted = jax.jit(step, in_shardings=(text_sh, rep),
+                     out_shardings=(rep,) * 6)
+
+    def checked(text, doc_ends):
+        out = jitted(text, doc_ends)
+        _check_capacity(out[0][0], M, "sharded scan")
+        return out
+
+    return checked
 
 
 def compile_partitioned_matches(mesh, num_docs: int, M: int = 4096,
@@ -174,7 +197,13 @@ def compile_partitioned_matches(mesh, num_docs: int, M: int = 4096,
                 jnp.int32(num_distinct), M))(texts, doc_ends)
 
     part = NamedSharding(mesh, P("part"))
-    fn = jax.jit(step,
-                 in_shardings=(NamedSharding(mesh, spec_in), part),
-                 out_shardings=(part,) * 6)
-    return fn
+    jitted = jax.jit(step,
+                     in_shardings=(NamedSharding(mesh, spec_in), part),
+                     out_shardings=(part,) * 6)
+
+    def checked(texts, doc_ends):
+        out = jitted(texts, doc_ends)
+        _check_capacity(out[0], M, "partitioned match scan")
+        return out
+
+    return checked

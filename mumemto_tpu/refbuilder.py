@@ -37,6 +37,18 @@ def revcomp(seq: np.ndarray) -> np.ndarray:
     return _COMP[seq[::-1]]
 
 
+def _validate_byte_range(text: np.ndarray, origin: str) -> None:
+    """The compute path packs chars into 7-bit lanes (ops/suffix.py packed
+    seed; ops/pfp grp/bwt and suf/bwt packs), which requires every text
+    byte < 127. Legal FASTA is ASCII so this only rejects binary garbage —
+    but reject it loudly instead of corrupting the suffix array."""
+    if text.size and int(text.max()) >= 127:
+        bad = int(text[text >= 127][0])
+        raise ValueError(
+            f"{origin}: byte value {bad} >= 127 in sequence data; "
+            "inputs must be ASCII FASTA characters")
+
+
 def read_fasta(path: str):
     """Read a FASTA file -> (names, seqs as uint8 arrays), uppercased.
 
@@ -169,6 +181,7 @@ def build_from_files(files, use_revcomp: bool = True) -> RefBuilder:
         seq_lengths.append(doc_len)
 
     text = np.concatenate(pieces)
+    _validate_byte_range(text, "build_from_files")
     return RefBuilder(text=text, seq_lengths=seq_lengths, num_docs=len(files),
                       use_revcomp=use_revcomp, input_files=files,
                       multifasta_names=mf_names, multifasta_lengths=mf_lengths)
@@ -196,6 +209,7 @@ def build_from_sequences(sequences, use_revcomp: bool = True) -> RefBuilder:
             doc_len *= 2
         seq_lengths.append(doc_len)
     text = np.concatenate(pieces)
+    _validate_byte_range(text, "build_from_sequences")
     return RefBuilder(text=text, seq_lengths=seq_lengths, num_docs=len(sequences),
                       use_revcomp=use_revcomp, input_files=[],
                       multifasta_names=[], multifasta_lengths=[])

@@ -35,7 +35,12 @@ def build(force: bool = False, quiet: bool = False) -> bool:
         f"-I{include}", f"-I{os.path.dirname(SRC)}",
         f"-L{libdir}", f"-Wl,-rpath,{libdir}", f"-l{pyver}",
     ]
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        if not quiet:
+            print(f"[capi] build failed to launch: {e}", file=sys.stderr)
+        return False
     if res.returncode != 0:
         if not quiet:
             print(f"[capi] g++ failed:\n{res.stderr}", file=sys.stderr)

