@@ -20,28 +20,48 @@ from mumemto_tpu.analysis.mumdata import (MUMdata, find_coll_blocks,
 
 
 def find_reversals(coll_block_order, mums, blocks):
-    """Maximal descending-rank stretches on '-' strands (inclusive ranges)."""
+    """Candidate inversions per non-reference sequence (re-derived from the
+    reference semantics, find_inversions.py:99-110 / SURVEY §2.2-P6).
+
+    Walking the blocks along sequence i, an inversion shows up as a maximal
+    stretch where the reference-order block id DECREASES by exactly 1 at
+    every step; the stretch is reported only if every spanned block sits on
+    the '-' strand in sequence i. Returns (seq, first_pos, last_pos)
+    positions into coll_block_order[seq], inclusive.
+    """
+    lefts = np.asarray([b[0] for b in blocks], dtype=np.int64)
     stretches = []
     for i in range(1, len(coll_block_order)):
-        decreases = np.where(np.diff(coll_block_order[i]) == -1)[0]
-        ranges = np.split(decreases, np.where(np.diff(decreases) != 1)[0] + 1)
-        for r in ranges:
-            if len(r) == 0:
-                continue
-            if np.all([not mums[blocks[x][0]][2][i]
-                       for x in coll_block_order[i][r[0]:r[-1] + 2]]):
-                stretches.append((i, r[0], r[-1] + 1))
+        along = np.asarray(coll_block_order[i])
+        desc = np.diff(along) == -1  # step down by one
+        if not desc.any():
+            continue
+        # '-' strand (in seq i) of each block's leading MUM, by position
+        neg = ~np.asarray(mums.strands)[lefts[along], i]
+        edge = np.diff(np.concatenate(
+            ([False], desc, [False])).astype(np.int8))
+        for a, b in zip(np.flatnonzero(edge == 1), np.flatnonzero(edge == -1)):
+            # stretch covers positions a..b (b = one past the last down-step)
+            if neg[a:b + 1].all():
+                stretches.append((i, int(a), int(b)))
     return stretches
 
 
 def inversion_coords(coll_block_order, mums, blocks, i, s, e):
-    block_range = coll_block_order[i][s:e + 1]
-    first, last = block_range[0], block_range[-1]
-    seq_start = mums[blocks[first][1]][1][i]
-    seq_end = mums[blocks[last][0]][1][i] + mums[blocks[last][0]][0]
-    ref_start = mums[blocks[first][1]][1][0]
-    ref_end = mums[blocks[last][0]][1][0] + mums[blocks[last][0]][0]
-    return (i, seq_start, seq_end, ref_start, ref_end)
+    """Coordinates of one reversal stretch: the segment runs backwards along
+    sequence i, so its left edge in i-coordinates comes from the RIGHT MUM
+    of the first spanned block and its right edge from the LEFT MUM of the
+    last (find_inversions.py:112-121 semantics)."""
+    along = coll_block_order[i]
+    head_mum = blocks[int(along[s])][1]
+    tail_mum = blocks[int(along[e])][0]
+    tail_len = int(mums.lengths[tail_mum])
+    starts = np.asarray(mums.starts)
+    return (i,
+            int(starts[head_mum, i]),
+            int(starts[tail_mum, i]) + tail_len,
+            int(starts[head_mum, 0]),
+            int(starts[tail_mum, 0]) + tail_len)
 
 
 def _scaffold_breaks(agp_filelist, chrom, hap_ids, verbose=False):

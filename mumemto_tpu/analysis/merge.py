@@ -204,29 +204,30 @@ def _extract_sorted_mums_fasta(mum_file: str, lengths_file: str, out_fa: str):
             f.write(bytes(seq[st:st + int(mums.lengths[i])]).decode() + "#\n")
 
 
-def _remove_start_dollar(mum, s1_bv):
-    """Split grand-MUMs at '#' record boundaries (merge_mums.py:119-139)."""
+def _split_grand_mum(mum, sep_bv):
+    """Split one grand-MUM at '#' record boundaries (semantics of the
+    reference's remove_start_dollar, merge_mums.py:119-139, re-derived).
+
+    Separators inside the match (doc-0 coordinates, relative offsets
+    seps[]) cut it into segments [a, b); segments shorter than
+    MIN_MERGE_LEN are dropped. A segment's start in set i is starts[i] + a
+    on the '+' strand and mirrors to starts[i] + (l - a - len) on '-'.
+    """
     l, starts, strands = mum
+    st = np.asarray(starts, dtype=np.int64)
+    fwd = np.asarray(strands, dtype=bool)
+    seps = np.flatnonzero(sep_bv[st[0]: st[0] + l])
+    if seps.size == 0:
+        return [(l, starts, strands)]
+    seg_lo = np.concatenate(([0], seps + 1))
+    seg_hi = np.concatenate((seps, [l]))
     out = []
-    dollars = np.where(s1_bv[starts[0]: starts[0] + l])[0]
-    if len(dollars) == 0:
-        out.append((l, starts, strands))
-        return out
-    last_pos_left = 0
-    last_pos_right = l
-    for idx in range(len(dollars)):
-        new_l = int(dollars[idx]) - last_pos_left
-        if new_l >= MIN_MERGE_LEN:
-            new_starts = [s + last_pos_left if strand else s + last_pos_right - new_l
-                          for s, strand in zip(starts, strands)]
-            out.append((new_l, new_starts, strands))
-        last_pos_left = int(dollars[idx]) + 1
-        last_pos_right = last_pos_right - new_l - 1
-    new_l = l - last_pos_left
-    if new_l >= MIN_MERGE_LEN:
-        new_starts = [s + last_pos_left if strand else s
-                      for s, strand in zip(starts, strands)]
-        out.append((new_l, new_starts, strands))
+    for a, b in zip(seg_lo.tolist(), seg_hi.tolist()):
+        seg_len = b - a
+        if seg_len >= MIN_MERGE_LEN:
+            out.append((seg_len,
+                        np.where(fwd, st + a, st + (l - a - seg_len)),
+                        strands))
     return out
 
 
@@ -280,7 +281,7 @@ def string_merge(mum_files, paths, output: str, output_base: str,
     g_lengths, g_starts, g_strands = formats.parse_mums(merged_mums)
     dollar_less = []
     for i in range(len(g_lengths)):
-        dollar_less.extend(_remove_start_dollar(
+        dollar_less.extend(_split_grand_mum(
             (int(g_lengths[i]), g_starts[i], g_strands[i]), set1_bv))
 
     merged = []

@@ -136,11 +136,12 @@ class MUMdata:
 
     def __add__(self, other):
         if self.num_seqs != other.num_seqs:
-            raise ValueError("different numbers of sequences")
+            raise ValueError(
+                "cannot concatenate MUM sets over different sequence counts")
         return MUMdata.from_arrays(
             np.concatenate([self.lengths, other.lengths]),
-            np.vstack([self.starts, other.starts]),
-            np.vstack([self.strands, other.strands]))
+            np.concatenate([self.starts, other.starts], axis=0),
+            np.concatenate([self.strands, other.strands], axis=0))
 
     def copy(self):
         return MUMdata.from_arrays(
@@ -150,19 +151,21 @@ class MUMdata:
             else list(self.extra_fields))
 
     def sort(self, ref_col: int = 0, copy: bool = False):
+        """Order by the given start column, ascending. No-op when already
+        ordered; a real re-sort invalidates any attached block ranges."""
         target = self.copy() if copy else self
         if target.num_mums <= 1:
             return target
-        already = np.all(np.diff(target.starts[:, ref_col]) >= 0)
-        if target.blocks is not None and not already:
-            target.blocks = None
-        if not already:
-            order = target.starts[:, ref_col].argsort()
-            target.lengths = target.lengths[order]
-            target.starts = target.starts[order]
-            target.strands = target.strands[order]
-            if target.extra_fields is not None:
-                target.extra_fields = [target.extra_fields[i] for i in order]
+        col = target.starts[:, ref_col]
+        if np.all(col[:-1] <= col[1:]):
+            return target
+        target.blocks = None
+        perm = np.argsort(col, kind="stable")
+        target.lengths = target.lengths[perm]
+        target.starts = target.starts[perm]
+        target.strands = target.strands[perm]
+        if target.extra_fields is not None:
+            target.extra_fields = [target.extra_fields[i] for i in perm]
         return target
 
     def filter_pmums(self):
@@ -214,61 +217,68 @@ class MUMdata:
             length32=self.lengths.dtype == np.uint32)
 
 
+def _true_runs(mask: np.ndarray):
+    """Maximal runs of True as (first, last_exclusive) index pairs."""
+    edge = np.diff(np.concatenate(([False], mask, [False])).astype(np.int8))
+    return np.flatnonzero(edge == 1), np.flatnonzero(edge == -1)
+
+
 def find_coll_blocks(mums: MUMdata, max_break: int = 0, verbose: bool = False,
                      return_order: bool = False,
                      min_singleton_length: int | None = None):
-    """Collinear-block detection (utils.py:9-64 semantics).
+    """Collinear-block detection (semantics of the reference's
+    mumemto/utils.py:9-64, re-derived; SURVEY §2.2-P2).
 
-    Returns list of (left, right) inclusive MUM-index ranges where
-    consecutive MUMs are collinear across all sequences.
+    MUMs are assumed sorted by the sequence-0 start column. Two adjacent
+    MUMs i, i+1 are *collinear* when, in EVERY sequence j, MUM i+1 is the
+    immediate neighbor of MUM i along j in the direction of i's strand
+    (rank difference +1 on '+', -1 on '-') and the strand pattern is
+    unchanged. With max_break > 0 the pair additionally requires the gap
+    between the two matches (start distance minus the length of whichever
+    comes first in that sequence) to be <= max_break in every sequence.
+    Blocks are the maximal runs of collinear pairs, returned as inclusive
+    (first_mum, last_mum) index ranges sorted by first index; with
+    min_singleton_length, uncovered MUMs at least that long are added as
+    one-MUM blocks.
     """
-    def find_blocks(coll):
-        diffs = np.diff(np.concatenate(([False], coll, [False])).astype(int))
-        return list(zip(np.where(diffs == 1)[0], np.where(diffs == -1)[0]))
-
     starts = mums.starts
     strands = mums.strands
-    lengths = mums.lengths
-    mum_orders = starts.transpose().argsort()
-    strand_changes = (~np.diff(strands, axis=0)).all(axis=1)
-    strand_dir = np.where(strands, 1, -1)
-    mum_order_pos = np.argsort(mum_orders, axis=1)
-    quick_coll = (strand_dir.T[:, :-1] == np.diff(mum_order_pos, axis=1)).all(axis=0)
-    np.logical_and(quick_coll, strand_changes, out=quick_coll)
-    large_blocks = find_blocks(quick_coll)
-
-    if max_break > 0:
-        small_blocks = []
-        for l, r in large_blocks:
-            last = l
-            for i in range(l, r):
-                lens = np.full(len(starts[i]), lengths[i], dtype=np.int64)
-                lens[(starts[i + 1] < starts[i])] = lengths[i + 1]
-                gap_lens = np.abs(starts[i] - starts[i + 1]) - lens
-                if gap_lens.max() > max_break:
-                    if last < i:
-                        small_blocks.append((last, i))
-                    last = i + 1
-            if last != r:
-                small_blocks.append((last, r))
-        blocks = small_blocks
-    else:
-        blocks = large_blocks
+    lengths = np.asarray(mums.lengths, dtype=np.int64)
+    n = len(lengths)
+    blocks: list = []
+    if n >= 2:
+        # rank[i, j] = position of MUM i when ordered along sequence j
+        rank = np.argsort(np.argsort(starts, axis=0, kind="stable"), axis=0)
+        step_dir = np.where(strands[:-1], 1, -1)
+        pair_ok = ((np.diff(rank, axis=0) == step_dir).all(axis=1)
+                   & (strands[1:] == strands[:-1]).all(axis=1))
+        if max_break > 0:
+            earlier_len = np.where(starts[1:] < starts[:-1],
+                                   lengths[1:, None], lengths[:-1, None])
+            gap = np.abs(starts[1:] - starts[:-1]) - earlier_len
+            pair_ok &= (gap <= max_break).all(axis=1)
+        lo, hi = _true_runs(pair_ok)
+        # a run of true pairs [a, b) spans MUMs a..b inclusive
+        blocks = [(int(a), int(b)) for a, b in zip(lo, hi)]
 
     if min_singleton_length is not None:
-        is_coll = np.zeros(len(lengths), dtype=bool)
-        for s, e in blocks:
-            is_coll[s:e + 1] = True
-        singleton = np.where((~is_coll) & (lengths >= min_singleton_length))
-        for i in singleton[0]:
-            blocks.append((i, i))
+        covered = np.zeros(n, dtype=bool)
+        for a, b in blocks:
+            covered[a:b + 1] = True
+        for i in np.flatnonzero(~covered & (lengths >= min_singleton_length)):
+            blocks.append((int(i), int(i)))
+        blocks.sort(key=lambda b: b[0])
 
-    blocks = sorted(blocks, key=lambda x: x[0])
     if return_order:
-        order = mum_order_pos[:, [b[0] for b in blocks]].argsort(axis=1)
-        return blocks, order
+        return blocks, get_coll_block_order(mums, blocks)
     return blocks
 
 
 def get_coll_block_order(mums, blocks):
-    return mums.starts[[b[0] for b in blocks], :].transpose().argsort(axis=1)
+    """order[j] = block indices in the order their leading MUM appears
+    along sequence j (shape (num_seqs, num_blocks))."""
+    lefts = np.asarray([b[0] for b in blocks], dtype=np.int64)
+    if lefts.size == 0:
+        nseq = mums.starts.shape[1] if mums.num_mums else 0
+        return np.zeros((nseq, 0), dtype=np.int64)
+    return np.argsort(mums.starts[lefts], axis=0, kind="stable").T

@@ -73,56 +73,73 @@ def parse_arguments(args):
     return a
 
 
-def points_to_poly(points):
-    starts, ends = tuple(zip(*points))
-    return starts + ends[::-1]
+def _band_poly(lo, hi, rows):
+    """Closed band polygon across the given sequence rows: left edge down
+    the start coordinates, right edge back up the end coordinates."""
+    down = [(float(lo[r]), r) for r in rows]
+    up = [(float(hi[r]), r) for r in reversed(rows)]
+    return tuple(down + up)
 
 
-def _polygon_rows(rows_iter, centering, color, inv_color):
-    """Shared polygon construction with inversion color switching
-    (viz_mums.py:84-158). rows_iter yields (left, right, strands)."""
-    polygons, colors = [], []
-    for left, right, strands in rows_iter:
-        inverted = not strands[0]
-        points = []
-        for idx in range(len(strands)):
-            if left[idx] == -1:
-                if len(points) > 2:
-                    polygons.append(points_to_poly(points))
-                    colors.append(color)
-                points = []
-                continue
-            points.append(((centering[idx] + left[idx], idx),
-                           (centering[idx] + right[idx], idx)))
-            strand = strands[idx]
-            if (not inverted and not strand) or (inverted and strand):
-                inverted = not inverted
-                if len(points) > 2:
-                    polygons.append(points_to_poly(points[:-1]))
-                    colors.append(color)
-                polygons.append(points_to_poly(points[-2:]))
-                colors.append(inv_color)
-                points = [points[-1]]
-        if len(points) >= 2:
-            polygons.append(points_to_poly(points))
-            colors.append(color)
-    return polygons, colors
+def _emit_row_polygons(left, right, strands, centering, color, inv_color,
+                       polygons, colors):
+    """Synteny bands for ONE match/block across all sequence rows
+    (re-derivation of the reference geometry, viz_mums.py:84-158 /
+    SURVEY §2.2-P3).
+
+    The band is drawn as a chain through consecutive sequence rows. The
+    chain breaks at absent slots (-1). When a row's strand differs from the
+    current orientation, the two rows around the flip become their own band
+    in the inversion color and the chain restarts at the flipped row.
+    Emission thresholds replicate the reference: a chain cut short by an
+    absent slot, or the piece left of a flip, draws only with >= 3 rows; a
+    chain closed at the bottom draws with >= 2.
+    """
+    xs = np.asarray(centering, dtype=np.float64)
+    lo = xs + np.asarray(left)
+    hi = xs + np.asarray(right)
+    orient = bool(strands[0])  # current '+'-equivalent orientation
+    chain: list = []
+    for row in range(len(strands)):
+        if left[row] == -1:
+            if len(chain) > 2:
+                polygons.append(_band_poly(lo, hi, chain))
+                colors.append(color)
+            chain = []
+            continue
+        chain.append(row)
+        if bool(strands[row]) != orient:  # orientation flip at this row
+            orient = not orient
+            if len(chain) > 2:
+                polygons.append(_band_poly(lo, hi, chain[:-1]))
+                colors.append(color)
+            polygons.append(_band_poly(lo, hi, chain[-2:]))
+            colors.append(inv_color)
+            chain = chain[-1:]
+    if len(chain) >= 2:
+        polygons.append(_band_poly(lo, hi, chain))
+        colors.append(color)
 
 
 def get_mum_polygons(mums, centering, color="#00A2FF", inv_color="red"):
-    def rows():
-        for (l, starts, strands) in mums:
-            yield starts, starts + l, strands
-    return _polygon_rows(rows(), centering, color, inv_color)
+    polygons, colors = [], []
+    L = np.asarray(mums.lengths, dtype=np.int64)
+    for i in range(mums.num_mums):
+        _emit_row_polygons(mums.starts[i], mums.starts[i] + L[i],
+                           mums.strands[i], centering, color, inv_color,
+                           polygons, colors)
+    return polygons, colors
 
 
 def get_block_polygons(blocks, mums, centering, color="#00A2FF",
                        inv_color="red"):
-    def rows():
-        for (l, r) in blocks:
-            yield (mums[l].starts, mums[r].starts + mums[r].length,
-                   mums[l].strands)
-    return _polygon_rows(rows(), centering, color, inv_color)
+    polygons, colors = [], []
+    for (l, r) in blocks:
+        _emit_row_polygons(mums.starts[l],
+                           mums.starts[r] + int(mums.lengths[r]),
+                           mums.strands[l], centering, color, inv_color,
+                           polygons, colors)
+    return polygons, colors
 
 
 def _plot(a, genome_lengths, polygons, colors, centering, genomes=None):
@@ -134,9 +151,9 @@ def _plot(a, genome_lengths, polygons, colors, centering, genomes=None):
     fig, ax = plt.subplots()
     max_length = max(genome_lengths)
     if a.mode in ("normal", "delineated"):
-        for idx, g in enumerate(genome_lengths):
-            ax.plot([centering[idx], centering[idx] + g], [idx, idx],
-                    alpha=0.2, linewidth=0.75, c="black")
+        for idx, (c0, g) in enumerate(zip(centering, genome_lengths)):
+            ax.plot([c0, c0 + g], [idx, idx], c="black", alpha=0.2,
+                    linewidth=0.75)
     elif a.mode == "gapped":
         ml = a.multilengths
         offsets = np.array([0] + (ml.max(axis=0) + a.spacer).cumsum().tolist()[:-1])
@@ -196,45 +213,55 @@ def _plot(a, genome_lengths, polygons, colors, centering, genomes=None):
     return filename
 
 
+def _split_blocks_at_contig_edges(blocks, contig_idx):
+    """Split collinear blocks at contig transitions for the gapped layout
+    (semantics of viz_mums.py:262-281, re-derived — quirks preserved:
+    two-MUM blocks spanning an edge are dropped whole; the MUM just past
+    an edge is skipped; fragments of fewer than two MUMs are dropped)."""
+    out = []
+    for l, r in blocks:
+        if np.array_equal(contig_idx[l], contig_idx[r]):
+            out.append((l, r))
+            continue
+        if r - l == 1:
+            continue
+        # first-MUM index of every pair whose contig assignment changes
+        change = (contig_idx[l + 1:r + 1] != contig_idx[l:r]).any(axis=1)
+        cursor = l
+        for p in (np.flatnonzero(change) + l).tolist():
+            if p == l:
+                cursor = l + 2
+                continue
+            if cursor < p <= r:
+                out.append((cursor, p))
+                cursor = p + 2
+        if cursor < r:
+            out.append((cursor, r))
+    return out
+
+
 def offset_mums(a, mums, spacer=None, blocks=None):
-    """Re-coordinate MUMs for gapped multi-FASTA mode (viz_mums.py:256-296)."""
-    offset = a.multilengths
+    """Re-coordinate MUMs into the gapped multi-FASTA layout: contig k of
+    every sequence is drawn in a shared column of width max_seq(len_k) +
+    spacer, so a MUM start becomes column_offset[k] + offset-within-contig
+    (viz_mums.py:256-296 semantics). Returns blocks split at contig
+    transitions (None when no blocks given)."""
+    ml = a.multilengths
     if spacer is None:
         spacer = a.spacer
-    num_seqs = len(offset)
-    offsets = np.cumsum(offset, axis=1)
-    contig_idx = np.array([
-        np.searchsorted(offsets[idx], mums.starts[:, idx], side="right")
-        for idx in range(num_seqs)]).transpose()
-    new_blocks = None
-    if blocks is not None:
-        new_blocks = []
-        for l, r in blocks:
-            if not np.all(contig_idx[l, :] == contig_idx[r, :]):
-                if l == r - 1:
-                    continue
-                diffs = ~(np.diff(contig_idx[l:r + 1, :], axis=0) == 0).all(axis=1)
-                old_l = l
-                for s in np.where(diffs)[0] + 1:
-                    if s == 1:
-                        l = old_l + 2
-                        continue
-                    cur = old_l + s
-                    if l < cur - 1 and cur - 1 <= r:
-                        new_blocks.append((l, cur - 1))
-                        l = cur + 1
-                if l < r:
-                    new_blocks.append((l, r))
-            else:
-                new_blocks.append((l, r))
-    left_start = np.hstack((np.zeros((offsets.shape[0], 1), dtype=int),
-                            offsets[:, :-1]))
-    rel = mums.starts - left_start[np.arange(num_seqs), contig_idx]
-    mask = mums.starts != -1
-    new_starts = np.array(
-        [0] + (offset.max(axis=0) + spacer).cumsum().tolist()[:-1]
-    )[contig_idx] + rel
-    mums.starts[mask] = new_starts[mask]
+    nseq = len(ml)
+    ends = np.cumsum(ml, axis=1)  # (N, C) contig end positions per seq
+    contig_idx = np.stack([
+        np.searchsorted(ends[j], mums.starts[:, j], side="right")
+        for j in range(nseq)], axis=1)  # (n_mums, N)
+    new_blocks = None if blocks is None else \
+        _split_blocks_at_contig_edges(blocks, contig_idx)
+    contig_start = ends - ml
+    col = np.concatenate(([0], np.cumsum(ml.max(axis=0) + spacer)[:-1]))
+    within = mums.starts - contig_start[np.arange(nseq), contig_idx]
+    gapped = col[contig_idx] + within
+    present = mums.starts != -1
+    mums.starts[present] = gapped[present]
     return new_blocks
 
 
@@ -302,9 +329,10 @@ def run(argv) -> int:
         mums.strands = mums.strands[:, order]
 
     max_length = max(seq_lengths)
-    centering = [0] * len(seq_lengths)
     if a.center:
         centering = [(max_length - g) / 2 for g in seq_lengths]
+    else:
+        centering = [0.0] * len(seq_lengths)
 
     if a.no_coll_block:
         if a.mode == "gapped":
