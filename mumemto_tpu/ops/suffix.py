@@ -34,14 +34,43 @@ def _num_levels(n: int) -> int:
     return max(1, math.ceil(math.log2(max(n, 2))))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "packed_init", "max_lvl"))
+def _shift_static(r: jax.Array, k: int, n: int, fill: int) -> jax.Array:
+    """r shifted left by the STATIC distance k, filled past the end — a
+    slice+pad (elementwise), not a gather."""
+    if k >= n:
+        return jnp.full((n,), fill, r.dtype)
+    return jnp.concatenate([r[k:], jnp.full((k,), fill, r.dtype)])
+
+
+def _seed_packed8(text: jax.Array, n: int, alpha_thresholds):
+    """3-bit alphabet-coded seed: exact 1/2/4/8-char rank rows built with
+    shifts only (no sorts). Valid when the text has <= 8 distinct byte
+    values; alpha_thresholds are the 7 static split points so that
+    code = #{t < char} is order-preserving. A beyond-the-array slot codes
+    as 0; a real byte coding to 0 only occurs in the zero-pad tail, where
+    the conflation is harmless (pad rows sort first either way and carry
+    no consumed structure)."""
+    code = jnp.zeros((n,), jnp.int32)
+    for t in alpha_thresholds:
+        code = code + (text > jnp.uint8(t)).astype(jnp.int32)
+    rank8 = code
+    for j in range(1, 8):
+        rank8 = (rank8 << 3) | _shift_static(code, j, n, 0)
+    return code, rank8 >> 18, rank8 >> 12, rank8
+
+
+@functools.partial(jax.jit, static_argnames=("n", "packed_init", "max_lvl",
+                                             "alpha_thresholds"))
 def _suffix_array_impl(text: jax.Array, n: int, packed_init: bool = False,
-                       max_lvl: int | None = None):
+                       max_lvl: int | None = None,
+                       alpha_thresholds: tuple | None = None):
     """Prefix-doubling SA. packed_init=True (valid only when every element
     is < 128, e.g. byte texts) seeds the rank history with packed 1-/2-/4-
-    char ranks, skipping the first two sort rounds. Rank rows are only ever
-    compared for equality/order, so order-preserving non-compact ranks are
-    valid seeds.
+    char ranks, skipping the first two sort rounds; alpha_thresholds
+    (static, <= 7 split points for a <= 8-letter alphabet) upgrades the
+    seed to exact 8-char ranks, skipping a third round. Rank rows are only
+    ever compared for equality/order, so order-preserving non-compact
+    ranks are valid seeds.
 
     max_lvl caps the doubling depth: the result is then a suffix ordering
     exact up to 2^max_lvl-char prefixes, with ties (suffix pairs sharing
@@ -49,47 +78,43 @@ def _suffix_array_impl(text: jax.Array, n: int, packed_init: bool = False,
     consumers that treat such ties as equivalent — the PFP dictionary path
     qualifies (ties beyond maxlen+1 chars are same-group suffixes whose
     order is irrelevant; see pfp_scan); the direct text-SA path must not
-    set it."""
+    set it. Capped runs also use a statically UNROLLED doubling loop whose
+    per-round offset shift is a slice instead of a gather (the while_loop
+    variant pays an O(n) gather per round because the shift distance is a
+    traced carry)."""
     L = _num_levels(n)
     if max_lvl is not None:
         L = min(L, max_lvl)
     idx = jnp.arange(n, dtype=jnp.int32)
     rank0 = text.astype(jnp.int32)
-    hist = jnp.zeros((L + 1, n), dtype=jnp.int32).at[0].set(rank0)
+    hist = jnp.zeros((L + 1, n), dtype=jnp.int32)
 
-    def shift(r, k):
-        return jnp.where(idx + k < n, jnp.take(r, jnp.minimum(idx + k, n - 1)),
-                         -1)
-
-    if packed_init:
+    if alpha_thresholds is not None and L >= 3:
+        code, rank2, rank4, rank8 = _seed_packed8(text, n, alpha_thresholds)
+        hist = hist.at[0].set(code).at[1].set(rank2).at[2].set(rank4) \
+                   .at[3].set(rank8)
+        start_rank, start_lvl = rank8, 4
+        start_sa = jnp.argsort(rank8, stable=True).astype(jnp.int32)
+    elif packed_init:
         # 7-bit packed seed ranks covering 2 then 4 chars (all < 2^28).
         # Chars are stored as char+1 (valid while char < 127) so that a
         # beyond-the-array slot packs as 0 = "absent", which sorts before
         # every real char — the same shorter-suffix-first semantics the
         # doubling rounds get from key2 = -1.
         tp = rank0 + 1
-        slot1 = jnp.where(idx + 1 < n,
-                          jnp.concatenate([tp[1:], jnp.zeros((1,), jnp.int32)])
-                          if n > 1 else jnp.zeros((n,), jnp.int32),
-                          0)
+        slot1 = jnp.where(idx + 1 < n, _shift_static(tp, 1, n, 0), 0)
         rank2 = (tp << 7) | slot1
-        slot23 = jnp.where(idx + 2 < n,
-                           jnp.concatenate([rank2[2:],
-                                            jnp.zeros((2,), jnp.int32)])
-                           if n > 2 else jnp.zeros((n,), jnp.int32),
-                           0)
+        slot23 = jnp.where(idx + 2 < n, _shift_static(rank2, 2, n, 0), 0)
         rank4 = (rank2 << 14) | slot23
-        hist = hist.at[1].set(rank2).at[2].set(rank4)
-        start_rank, start_k, start_lvl = rank4, jnp.int32(4), jnp.int32(3)
+        hist = hist.at[0].set(rank0).at[1].set(rank2).at[2].set(rank4)
+        start_rank, start_lvl = rank4, 3
         start_sa = jnp.argsort(rank4, stable=True).astype(jnp.int32)
     else:
-        start_rank, start_k, start_lvl = rank0, jnp.int32(1), jnp.int32(1)
+        hist = hist.at[0].set(rank0)
+        start_rank, start_lvl = rank0, 1
         start_sa = jnp.argsort(rank0, stable=True).astype(jnp.int32)
 
-    def body(carry):
-        rank, sa, hist, k, lvl, _done = carry
-        # rank of the suffix starting 2^(lvl-1) later; -1 past the end
-        key2 = shift(rank, k)
+    def round_core(rank, key2):
         r1, r2, perm = jax.lax.sort((rank, key2, idx), num_keys=2)
         changed = jnp.concatenate([
             jnp.zeros((1,), jnp.int32),
@@ -97,7 +122,26 @@ def _suffix_array_impl(text: jax.Array, n: int, packed_init: bool = False,
         ])
         new_rank_sorted = jnp.cumsum(changed)
         new_rank = jnp.zeros((n,), jnp.int32).at[perm].set(new_rank_sorted)
-        done = new_rank_sorted[-1] == n - 1
+        return new_rank, perm, new_rank_sorted[-1] == n - 1
+
+    if max_lvl is not None:
+        # depth-capped runs (the PFP dictionary): repetitive inputs keep
+        # ties alive until the cap, so the early-exit check rarely fires —
+        # unroll all rounds with static-k slice shifts
+        rank, sa = start_rank, start_sa
+        for lvl in range(start_lvl, L + 1):
+            k = 1 << (lvl - 1)
+            key2 = _shift_static(rank, k, n, -1)
+            rank, sa, _done = round_core(rank, key2)
+            hist = hist.at[lvl].set(rank)
+        return sa, hist, jnp.int32(L + 1)
+
+    def body(carry):
+        rank, sa, hist, k, lvl, _done = carry
+        # rank of the suffix starting 2^(lvl-1) later; -1 past the end
+        key2 = jnp.where(idx + k < n,
+                         jnp.take(rank, jnp.minimum(idx + k, n - 1)), -1)
+        new_rank, perm, done = round_core(rank, key2)
         hist = jax.lax.dynamic_update_slice(hist, new_rank[None, :], (lvl, 0))
         return new_rank, perm, hist, k * 2, lvl + 1, done
 
@@ -105,7 +149,8 @@ def _suffix_array_impl(text: jax.Array, n: int, packed_init: bool = False,
         _rank, _sa, _hist, _k, lvl, done = carry
         return (lvl <= L) & jnp.logical_not(done)
 
-    init = (start_rank, start_sa, hist, start_k, start_lvl, jnp.bool_(False))
+    init = (start_rank, start_sa, hist, jnp.int32(1 << (start_lvl - 1)),
+            jnp.int32(start_lvl), jnp.bool_(False))
     rank, sa, hist, _k, lvl, _done = jax.lax.while_loop(cond, body, init)
     return sa, hist, lvl
 
