@@ -1,10 +1,11 @@
 """Pallas TPU kernels for the PFP hot ops (opt-in).
 
-First kernel: the rolling window-hash phrase-break mask (the reference's
-per-character Karp-Rabin loop, newscan.hpp:310-325; HOT #1 in SURVEY §3.1).
-The XLA formulation (ops/pfp._break_mask) materializes w shifted copies of
-the text; this kernel streams one block (plus a (w-1)-char halo from the
-previous block) through VMEM and emits the mask in a single pass.
+First kernel: the rolling Karp-Rabin window-hash phrase-break mask (the
+reference's per-character KR loop, newscan.hpp:84-115,310-325; HOT #1 in
+SURVEY §3.1). The XLA formulation (ops/pfp._break_mask) materializes w
+shifted copies of the ext array; this kernel streams one block (plus a
+(w-1)-char halo from the previous block) through VMEM and emits the mask
+in a single pass, with the same uint32 two-limb mod-p arithmetic.
 
 Enabled with MUMEMTO_TPU_PALLAS=1 (ops/pfp.compute_breaks consults
 `use_pallas()`); the XLA path remains the default. Both paths are
@@ -30,9 +31,8 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from mumemto_tpu.ops.pfp import HASH_BASE
+from mumemto_tpu.ops.pfp import KR_PRIME
 
 BLK = 65536  # elements per grid step (256 KiB of uint32 in VMEM)
 
@@ -43,38 +43,56 @@ def use_pallas() -> bool:
 
 def _break_mask_kernel(w: int, mod: int, nreal_ref, prev_ref, cur_ref,
                        out_ref):
-    """One block: mask[i] = (hash(text[i-w+1..i]) % mod == 0) for global
-    i in this block, with the w-1 halo chars taken from prev block."""
+    """One block of ext coords: mask[k] = KR break at ext position
+    i*BLK + k, with the w-1 halo chars taken from the previous block.
+    Same two-limb arithmetic as ops/pfp._break_mask."""
     from jax.experimental import pallas as pl  # noqa: F401  (doc import)
 
     i = pl.program_id(0)
+    p = jnp.uint32(KR_PRIME)
     cur = cur_ref[:].astype(jnp.uint32)
     halo = prev_ref[:].astype(jnp.uint32)  # previous BLK chars
-    # ext[j] = char at global position i*BLK + j - (w-1), j in [0, BLK+w-1)
-    ext = jnp.concatenate([halo[BLK - (w - 1):], cur])
-    h = jnp.zeros((BLK,), jnp.uint32)
-    power = jnp.uint32(1)
-    for k in range(w):  # char at window offset (w-1-k) carries BASE^k
-        h = h + ext[(w - 1) - k:(w - 1) - k + BLK] * power
-        power = power * jnp.uint32(HASH_BASE)
     gidx = (i * BLK
             + jax.lax.broadcasted_iota(jnp.int32, (BLK, 1), 0).reshape(BLK))
-    mask = (h % jnp.uint32(mod) == 0) & (gidx >= w - 1) \
-        & (gidx < nreal_ref[0])
+    # win[j] = char at global ext position gidx - (w-1) + j, j in [0, BLK+w)
+    win = jnp.concatenate([halo[BLK - (w - 1):], cur])
+    # global position 0 is the unhashed decoration Dollar; positions < 0
+    # (the artificial front pad block) are zero-filled by construction
+    win_pos = (gidx[0] - (w - 1)
+               + jax.lax.broadcasted_iota(jnp.int32, (BLK + w - 1, 1), 0
+                                          ).reshape(BLK + w - 1))
+    win = jnp.where(win_pos == 0, jnp.uint32(0), win)
+    shi = jnp.zeros((BLK,), jnp.uint32)
+    slo = jnp.zeros((BLK,), jnp.uint32)
+    pw = 1
+    for j in range(w):  # char j positions back carries 256^j (mod p)
+        tj = win[(w - 1) - j:(w - 1) - j + BLK]
+        ph, pl_ = pw >> 8, pw & 255
+        shi = shi + tj * jnp.uint32(ph)
+        shi = jnp.where(shi >= p, shi - p, shi)
+        slo = slo + tj * jnp.uint32(pl_)
+        pw = (pw * 256) % KR_PRIME
+    for _ in range(8):
+        shi = shi + shi
+        shi = jnp.where(shi >= p, shi - p, shi)
+    h = shi + slo
+    h = jnp.where(h >= p, h - p, h)
+    mask = (h % jnp.uint32(mod) == 0) & (gidx >= w) \
+        & (gidx <= nreal_ref[0])
     out_ref[:] = mask
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w", "mod", "n", "interpret"))
-def break_mask_pallas(text: jax.Array, n_real: jax.Array, w: int, mod: int,
-                      n: int, interpret: bool = False):
+                   static_argnames=("w", "mod", "ne", "interpret"))
+def break_mask_pallas(ext: jax.Array, n_real: jax.Array, w: int, mod: int,
+                      ne: int, interpret: bool = False):
     """Drop-in replacement for ops/pfp._break_mask (same outputs)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert n % BLK == 0, "text bucket must be a multiple of the block size"
-    padded = jnp.concatenate([jnp.zeros((BLK,), text.dtype), text])
-    grid = (n // BLK,)
+    assert ne % BLK == 0, "ext bucket must be a multiple of the block size"
+    padded = jnp.concatenate([jnp.zeros((BLK,), ext.dtype), ext])
+    grid = (ne // BLK,)
     mask = pl.pallas_call(
         functools.partial(_break_mask_kernel, w, mod),
         grid=grid,
@@ -87,7 +105,7 @@ def break_mask_pallas(text: jax.Array, n_real: jax.Array, w: int, mod: int,
         ],
         out_specs=pl.BlockSpec((BLK,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((ne,), jnp.bool_),
         interpret=interpret,
     )(jnp.asarray([n_real], jnp.int32), padded, padded)
     return mask, mask.sum(dtype=jnp.int32)

@@ -48,7 +48,12 @@ DOLLAR_PFP = 2   # artificial phrase decoration char (common.hpp:54)
 SEP = 1          # EndOfWord (dict phrase separator)
 TERM = 0         # EndOfDict / parse terminator
 
-HASH_BASE = np.uint32(0x9E3779B1)  # odd multiplier; full period mod 2^32
+KR_PRIME = 1999999973  # reference KR window-hash modulus (newscan.hpp:84)
+
+# canonical no-N DNA text alphabet incl. the PFP decoration chars: enables
+# the 8-char 3-bit-coded SA seed with ONE compile shared by every ACGT
+# input ('$' = 36 is the doc separator byte)
+CANON_ALPHA = (0, 1, 2, 36, 65, 67, 71, 84)
 
 
 def bucket(n: int, lo: int = 1024) -> int:
@@ -63,21 +68,46 @@ def bucket(n: int, lo: int = 1024) -> int:
 # 1. parse: window hash + breaks
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("w", "mod", "n"))
-def _break_mask(text: jax.Array, n_real: jax.Array, w: int, mod: int, n: int):
-    """mask[i] = window ending at i triggers a phrase break; also count.
-    n_real is traced so different input lengths share one compile per
-    bucketed n."""
-    t = text.astype(jnp.uint32)
-    h = jnp.zeros((n,), jnp.uint32)
-    power = jnp.uint32(1)
-    for k in range(w):  # term for char at offset i-k, weight BASE^k
-        shifted = t if k == 0 else jnp.concatenate(
-            [jnp.zeros((k,), jnp.uint32), t[:-k]])
-        h = h + shifted * power
-        power = power * HASH_BASE
-    idx = jnp.arange(n, dtype=jnp.int32)
-    mask = (h % jnp.uint32(mod) == 0) & (idx >= w - 1) & (idx < n_real)
+@functools.partial(jax.jit, static_argnames=("w", "mod", "ne"))
+def _break_mask(ext: jax.Array, n_real: jax.Array, w: int, mod: int, ne: int):
+    """mask[k] (EXT coords, k = text position + 1) = reference Karp-Rabin
+    window hash of the w text chars ending at text position k-1 is 0 mod
+    `mod`; also the break count. Byte-exact reference parse semantics
+    (newscan.hpp:84-115,321-323): h[i] = sum_j t[i-j]*256^j mod 1999999973
+    with zero-filled chars before the start (the reference window
+    initializes to 0 and is never reset across documents), break gated to
+    i >= w-1 (word.size() > w) and i < n_text (the trailing w Dollars are
+    appended without hashing, newscan.hpp:357-359).
+
+    Computed directly on the resident ext array (ext = [Dollar] + text +
+    [Dollar]*w + pad) so the text is uploaded once. All arithmetic is
+    uint32 two-limb mod-p: per char-offset j the power 256^j mod p splits
+    as ph*256 + pl, so every product and running sum stays below 2^32
+    (255*((p-1)>>8) < p keeps tj*ph already reduced), and the final
+    shi*256 mod p folds by 8 double-and-reduce steps. TPUs have no native
+    64-bit path; this costs ~6w cheap VPU passes and zero gathers.
+    """
+    p = jnp.uint32(KR_PRIME)
+    # ext[0] is the artificial phrase-decoration Dollar: never hashed
+    t = ext.astype(jnp.uint32).at[0].set(0)
+    shi = jnp.zeros((ne,), jnp.uint32)
+    slo = jnp.zeros((ne,), jnp.uint32)
+    pw = 1
+    for j in range(w):  # char j positions back carries 256^j (mod p)
+        tj = t if j == 0 else jnp.concatenate(
+            [jnp.zeros((j,), jnp.uint32), t[:-j]])
+        ph, pl = pw >> 8, pw & 255
+        shi = shi + tj * jnp.uint32(ph)      # tj*ph < p (see docstring)
+        shi = jnp.where(shi >= p, shi - p, shi)
+        slo = slo + tj * jnp.uint32(pl)      # total < w*2^16 << p
+        pw = (pw * 256) % KR_PRIME
+    for _ in range(8):                       # shi := shi*256 mod p
+        shi = shi + shi
+        shi = jnp.where(shi >= p, shi - p, shi)
+    h = shi + slo
+    h = jnp.where(h >= p, h - p, h)
+    k = jnp.arange(ne, dtype=jnp.int32)
+    mask = (h % jnp.uint32(mod) == 0) & (k >= w) & (k <= n_real)
     return mask, mask.sum(dtype=jnp.int32)
 
 
@@ -90,25 +120,23 @@ def _compact_breaks(mask: jax.Array, n: int, mb: int) -> jax.Array:
     return jax.lax.sort(key)[:mb]
 
 
-def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
-    """Break positions (indices of window-end chars) in text coords.
+def compute_breaks(ext: jax.Array, n_text: int, w: int, mod: int
+                   ) -> np.ndarray:
+    """Break positions (indices of window-end chars) in TEXT coords, from
+    the resident ext device array.
 
     Device-side mask + compaction; the only host readbacks are the scalar
     count and the O(#breaks) position array (device->host bandwidth through
     the tunnel is the scarce resource, never move O(n) data).
     """
     phase = _phase_logger()
-    n = text_np.size
-    nb = bucket(n)
-    padded = np.zeros(nb, dtype=np.uint8)
-    padded[:n] = text_np
+    ne = int(ext.shape[0])
     from mumemto_tpu.ops import pallas_kernels
-    if pallas_kernels.use_pallas() and nb % pallas_kernels.BLK == 0:
+    if pallas_kernels.use_pallas() and ne % pallas_kernels.BLK == 0:
         mask, count = pallas_kernels.break_mask_pallas(
-            jnp.asarray(padded), jnp.int32(n), w, mod, nb)
+            ext, jnp.int32(n_text), w, mod, ne)
     else:
-        mask, count = _break_mask(jnp.asarray(padded), jnp.int32(n), w,
-                                  mod, nb)
+        mask, count = _break_mask(ext, jnp.int32(n_text), w, mod, ne)
     k = int(count)
     phase("    break_mask+count")
     # a break on the very last char would make the final phrase exactly the
@@ -117,9 +145,9 @@ def compute_breaks(text_np: np.ndarray, w: int, mod: int) -> np.ndarray:
     if k == 0:
         return np.zeros(0, dtype=np.int32)
     mb = bucket(k, lo=64)
-    breaks = np.asarray(_compact_breaks(mask, nb, mb))
+    breaks = np.asarray(_compact_breaks(mask, ne, mb))
     phase("    break_compact+readback")
-    return breaks[:k]
+    return breaks[:k] - 1  # ext coord -> text coord
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +244,13 @@ class PFPData:
     phrase_st: np.ndarray  # ext start per unique phrase id (1-based index 0 unused)
     phrase_ln: np.ndarray  # char length per unique phrase id
     tstart: np.ndarray     # text start of each parse occurrence
+    alpha: tuple = ()      # distinct byte values present in ext (sorted)
+
+
+def _alphabet(bytes_np: np.ndarray) -> tuple:
+    """Sorted distinct byte values (cheap host bincount)."""
+    return tuple(np.flatnonzero(np.bincount(bytes_np, minlength=256)
+                                ).tolist())
 
 
 def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
@@ -228,10 +263,13 @@ def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
     ext_pad = np.zeros(ne, np.uint8)
     ext_pad[:ext_np.size] = ext_np
     ext = jnp.asarray(ext_pad)
+    phase("    ext_asarray")
+    alpha = _alphabet(ext_np)
+    phase("    ext_alphabet")
     ext.block_until_ready()
     phase("  ext_upload")
 
-    breaks = compute_breaks(text_np, w, mod)  # text coords
+    breaks = compute_breaks(ext, n_text, w, mod)  # text coords
     phase("  breaks")
     k = breaks.size
     m = k + 1
@@ -267,7 +305,7 @@ def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
     return PFPData(w=w, n_text=n_text, m=m, num_phrases=num_phrases,
                    d_len=int(phrase_ln.sum()) + num_phrases + 1,
                    ext=ext, parse=parse, phrase_st=phrase_st,
-                   phrase_ln=phrase_ln, tstart=tstart)
+                   phrase_ln=phrase_ln, tstart=tstart, alpha=alpha)
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "ne"))
@@ -400,12 +438,12 @@ def _phase_logger():
     return log
 
 
-def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
-             min_match_len, num_distinct, max_total_freq, max_doc_freq: int,
-             size_cap: int | None = None, need_ctx: bool = True):
-    """Full PFP expansion + interval scan; returns (res, counts, n_rows_pad)
-    compatible with ops/pipeline compaction. Device-resident throughout:
-    the only host<->device traffic is small per-phrase uploads."""
+def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
+    """Dict/parse-side preparation shared by the single-device scan and the
+    seq-sharded scan (parallel/seqpfp.py): dictionary SA/LCP/groups, parse
+    SA/ISA, s_lcp_T RMQ table, and the expansion row layout. Everything
+    returned is metadata-scale (O(|D| + |P|)), small relative to the O(n)
+    row space — it stays replicated under sharding."""
     phase = _phase_logger()
     w = pfp.w
     # --- dictionary string + SA/LCP; bucket-padded phrase arrays keep every
@@ -433,11 +471,26 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     # each round is several O(nd) passes, the dominant cost of this stage.
     maxlen = int(pfp.phrase_ln.max()) if pfp.phrase_ln.size > 1 else 1
     lvl_cap = (maxlen + 2).bit_length()
+    # alphabet-coded seeds: the dict alphabet is the ext alphabet + the
+    # SEP/TERM separators. <= 8 distinct values unlocks the exact 8-char
+    # 3-bit seed (one shared compile for canonical ACGT inputs); <= 16
+    # unlocks the packed 7-char bottom step of the LCP descent.
+    alpha = sorted(set(pfp.alpha) | {TERM, SEP, DOLLAR_PFP})
+    if set(alpha) <= set(CANON_ALPHA):
+        seed_thr = CANON_ALPHA[:-1]
+    elif len(alpha) <= 8:
+        seed_thr = tuple(alpha[:-1])
+    else:
+        seed_thr = None
+    lcp_thr = tuple(alpha[:-1]) if len(alpha) <= 16 else None
+    if seed_thr is not None and lcp_thr is not None:
+        lcp_thr = seed_thr  # share one compile for canonical inputs
     saD, histD, lvlD = ops_suffix._suffix_array_impl(
-        d, nd, packed_init=True, max_lvl=lvl_cap)
+        d, nd, packed_init=True, max_lvl=lvl_cap, alpha_thresholds=seed_thr)
     phase("dict_sa", saD)
     lvl_static = min((int(lvlD) + 1) // 2 * 2, histD.shape[0], lvl_cap)
-    lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd, levels=lvl_static)
+    lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd, levels=lvl_static,
+                                text=d, bottom_thresholds=lcp_thr)
     phase("dict_lcp", lcpD)
     isaD = _isa_dev(saD, nd)
 
@@ -471,20 +524,44 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     cnt = (pfp.phrase_ln[pfp.parse] - w).astype(np.int64)
     n_rows = int(cnt.sum())
     nr = bucket(n_rows)
+    if __import__("os").environ.get("MUMEMTO_TPU_PROFILE"):
+        import sys
+        print(f"[pfp_scan] shapes: nd={nd} nr={nr} mp={mp} npz={npz} "
+              f"maxlen={maxlen} lvl_cap={lvl_cap} lvl_static={lvl_static} "
+              f"|alpha|={len(alpha)}", file=sys.stderr, flush=True)
     cumcnt = np.zeros(mp + 1, np.int32)
     cumcnt[1:m + 1] = np.cumsum(cnt)
     cumcnt[m + 1:] = n_rows
+    return {
+        "parse": pprime_dev, "d_starts": d_starts_dev,
+        "cumcnt": jnp.asarray(cumcnt), "m": jnp.int32(m),
+        "total_rows": jnp.int32(n_rows), "n_text": jnp.int32(pfp.n_text),
+        "isaP": isaP, "grp_of_pos": grp_of_pos, "d": d,
+        "slt_table": slt_table, "grp_cross": grp_cross,
+        "doc_ends": jnp.asarray(doc_ends.astype(np.int32)),
+        "nr": nr, "nd": nd, "mp": mp, "w": w,
+        "_phase": phase,
+    }
+
+
+def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
+             min_match_len, num_distinct, max_total_freq, max_doc_freq: int,
+             size_cap: int | None = None, need_ctx: bool = True):
+    """Full PFP expansion + interval scan; returns (res, counts, n_rows_pad)
+    compatible with ops/pipeline compaction. Device-resident throughout:
+    the only host<->device traffic is small per-phrase uploads."""
+    prep = pfp_scan_prepare(pfp, doc_ends, num_docs)
+    phase = prep["_phase"]
     res, counts = _expand_and_analyze(
-        pprime_dev, d_starts_dev, jnp.asarray(cumcnt),
-        jnp.int32(m), jnp.int32(n_rows), jnp.int32(pfp.n_text),
-        isaP, grp_of_pos, d,
-        slt_table, grp_cross,
-        jnp.asarray(doc_ends.astype(np.int32)),
-        nr, nd, w, num_docs,
+        prep["parse"], prep["d_starts"], prep["cumcnt"],
+        prep["m"], prep["total_rows"], prep["n_text"],
+        prep["isaP"], prep["grp_of_pos"], prep["d"],
+        prep["slt_table"], prep["grp_cross"], prep["doc_ends"],
+        prep["nr"], prep["nd"], pfp.w, num_docs,
         jnp.int32(min_match_len), jnp.int32(num_distinct),
         jnp.int32(max_total_freq), max_doc_freq, size_cap, need_ctx)
     phase("expand_analyze", counts)
-    return res, counts, nr
+    return res, counts, prep["nr"]
 
 
 @functools.partial(jax.jit, static_argnames=("mp", "nd"))
@@ -548,6 +625,29 @@ def _expand_and_analyze(parse, d_starts, cumcnt,
         (= r pre-sort), rides through the sort packed into the ssa operand
         when the bit budget allows (replaces a post-sort searchsorted).
     """
+    ops = _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text,
+                           isaP, grp_of_pos, d, doc_ends, nr, nd, w,
+                           num_docs)
+    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    return _analyze_sorted(sorted_ops, slt_table, grp_cross, nr, nd, w,
+                           num_docs, min_match_len, num_distinct,
+                           max_total_freq, max_doc_freq, size_cap, need_ctx)
+
+
+def _pack_da_mode(nr: int, nd: int, num_docs: int):
+    """(pack_da, da_bits): whether (ssa, da) / (suf, bwt) pack into single
+    int32 sort operands (chars < 128; group ids < 2^24)."""
+    da_bits = max(int(num_docs).bit_length(), 1)
+    return nd < (1 << 24) and (nr << da_bits) < (1 << 31), da_bits
+
+
+def _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
+                     grp_of_pos, d, doc_ends, nr: int, nd: int, w: int,
+                     num_docs: int):
+    """Build the expansion-sort operand tuple (first two are the keys).
+    Everything is scans/scatters/slices except ONE O(nr) gather into the
+    packed (group, prev char) table. Separated from the sort + analysis so
+    the seq-sharded path can run the same code around a distributed sort."""
     r = jnp.arange(nr, dtype=jnp.int32)
     mp1 = cumcnt.shape[0]
     slots = jnp.arange(mp1 - 1, dtype=jnp.int32)
@@ -573,12 +673,11 @@ def _expand_and_analyze(parse, d_starts, cumcnt,
         jnp.cumsum(jnp.zeros((nr,), jnp.int32).at[ends_idx].add(1)),
         num_docs)
 
-    da_bits = max(int(num_docs).bit_length(), 1)
-    pack_da = nd < (1 << 24) and (nr << da_bits) < (1 << 31)
+    pack_da, da_bits = _pack_da_mode(nr, nd, num_docs)
     if pack_da:
         # pack (group id, previous dict char) into one int32 table: one
         # O(nr) gather instead of two, and (suf_len, bwt) / (ssa, da) into
-        # single sort operands (chars < 128; group ids < 2^24)
+        # single sort operands
         prev_d = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                   d[:-1].astype(jnp.int32)])
         grp_prev = (grp_of_pos << 7) | prev_d
@@ -587,20 +686,29 @@ def _expand_and_analyze(parse, d_starts, cumcnt,
         bwt = jnp.where(pad, 0, packed & 127)
         sufbwt = jnp.where(pad, 0, (suf_len << 7) | bwt)
         ssada = (ssa << da_bits) | da_by_pos
-        key1s, key2s, ssadas, sufbwts = jax.lax.sort(
-            (key1, key2, ssada, sufbwt), num_keys=2)
+        return key1, key2, ssada, sufbwt
+    key1 = jnp.where(pad, -1,
+                     jnp.take(grp_of_pos, jnp.clip(dictpos, 0, nd - 1)))
+    bwt = jnp.where(pad, 0,
+                    jnp.take(d, jnp.clip(dictpos - 1, 0, nd - 1)
+                             ).astype(jnp.int32))
+    return key1, key2, ssa, suf_len, bwt, da_by_pos
+
+
+def _analyze_sorted(sorted_ops, slt_table, grp_cross, nr: int, nd: int,
+                    w: int, num_docs: int, min_match_len, num_distinct,
+                    max_total_freq, max_doc_freq: int,
+                    size_cap: int | None, need_ctx: bool):
+    """Post-sort: per-row LCP from the PFP tables + interval analysis."""
+    pack_da, da_bits = _pack_da_mode(nr, nd, num_docs)
+    if pack_da:
+        key1s, key2s, ssadas, sufbwts = sorted_ops
         ssas = ssadas >> da_bits
         da = ssadas & ((1 << da_bits) - 1)
         sufs = sufbwts >> 7
         bwts = sufbwts & 127
     else:
-        key1 = jnp.where(pad, -1,
-                         jnp.take(grp_of_pos, jnp.clip(dictpos, 0, nd - 1)))
-        bwt = jnp.where(pad, 0,
-                        jnp.take(d, jnp.clip(dictpos - 1, 0, nd - 1)
-                                 ).astype(jnp.int32))
-        key1s, key2s, ssas, sufs, bwts, da = jax.lax.sort(
-            (key1, key2, ssa, suf_len, bwt, da_by_pos), num_keys=2)
+        key1s, key2s, ssas, sufs, bwts, da = sorted_ops
 
     same_grp = jnp.concatenate([
         jnp.zeros((1,), bool), key1s[1:] == key1s[:-1]])
@@ -651,8 +759,16 @@ def scan_collection_pfp(text_np: np.ndarray, doc_ends: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def write_parse_files(rb, prefix: str, w: int = 10, mod: int = 100) -> None:
-    """-P/--only-parse: write .dict (phrases + EndOfWord each + EndOfDict)
-    and .parse (u32 ranks)."""
+    """-P/--only-parse: write .dict (lex-sorted phrases + EndOfWord each +
+    EndOfDict) and .parse (u32 1-based ranks).
+
+    Byte-compatible with the reference toolchain: breaks come from the
+    exact KR window hash (newscan.hpp:84-115), phrases carry the same
+    Dollar decorations, and ranks are by phrase content (the reference's
+    collision-probed 64-bit phrase hashes are an internal detail — its
+    files also store content ranks, newscan.hpp:357-423). Golden-fixture
+    tested against an independent transcription of the reference parser
+    in tests/test_pfp.py."""
     pfp = build_pfp(rb.text, w=w, mod=mod)
     phrase_st, phrase_ln, d_starts_pad, npz, total_real, nd = \
         _pad_phrase_arrays(pfp)
@@ -720,4 +836,5 @@ def pfp_from_parse_files(prefix: str, w: int = 10) -> PFPData:
     return PFPData(w=w, n_text=n_text, m=m, num_phrases=num_phrases,
                    d_len=int(phrase_ln.sum()) + num_phrases + 1,
                    ext=jnp.asarray(ext_pad), parse=parse,
-                   phrase_st=phrase_st, phrase_ln=phrase_ln, tstart=tstart)
+                   phrase_st=phrase_st, phrase_ln=phrase_ln, tstart=tstart,
+                   alpha=_alphabet(body))

@@ -155,9 +155,11 @@ def _suffix_array_impl(text: jax.Array, n: int, packed_init: bool = False,
     return sa, hist, lvl
 
 
-@functools.partial(jax.jit, static_argnames=("n", "levels"))
+@functools.partial(jax.jit, static_argnames=("n", "levels",
+                                             "bottom_thresholds"))
 def _lcp_impl(sa: jax.Array, hist: jax.Array, num_lvl: jax.Array, n: int,
-              levels: int | None = None):
+              levels: int | None = None, text: jax.Array | None = None,
+              bottom_thresholds: tuple | None = None):
     """lcp[j] = LCP(suffix sa[j-1], suffix sa[j]); lcp[0] = 0.
 
     Exact rank-descent using the doubling history. Levels above the last
@@ -168,13 +170,25 @@ def _lcp_impl(sa: jax.Array, hist: jax.Array, num_lvl: jax.Array, n: int,
     num_lvl, read back by the caller). Descending from levels-1 instead of
     the worst-case log2(n) skips the provably-no-op top levels — each level
     costs two O(n) gathers, the dominant cost of this function.
-    """
+
+    bottom_thresholds (+ text): for alphabets of <= 16 distinct byte
+    values, the bottom three levels (4+2+1 chars = at most 7 remaining
+    chars once level 3 has run) collapse into ONE comparison of
+    precomputed 28-bit packs of 7 alphabet-coded chars: 2 gathers instead
+    of 6. The packs use zero fill past the array end; that can only
+    overcount LCPs between all-zero pad suffixes (both arguments already
+    deep in the zero tail), which sort to the very front of the SA and
+    whose lcp values no consumer reads un-guarded (see pfp._dict_groups:
+    the first valid row is always a new group and grp_cross[0] is pinned
+    to 0)."""
     L = hist.shape[0] - 1
     top = L if levels is None else min(int(levels) - 1, L)
     a = jnp.concatenate([sa[:1], sa[:-1]])  # previous row (a[0] unused)
     b = sa
     h = jnp.zeros((n,), jnp.int32)
-    for lvl in range(top, -1, -1):
+    packed_bottom = bottom_thresholds is not None and top >= 3
+    stop = 3 if packed_bottom else 0
+    for lvl in range(top, stop - 1, -1):
         row = jnp.minimum(jnp.int32(lvl), num_lvl - 1)
         ranks = jax.lax.dynamic_index_in_dim(hist, row, axis=0, keepdims=False)
         ia = a + h
@@ -183,6 +197,23 @@ def _lcp_impl(sa: jax.Array, hist: jax.Array, num_lvl: jax.Array, n: int,
         ra = jnp.take(ranks, jnp.minimum(ia, n - 1))
         rb = jnp.take(ranks, jnp.minimum(ib, n - 1))
         h = jnp.where(inb & (ra == rb), h + (1 << lvl), h)
+    if packed_bottom:
+        code = jnp.zeros((n,), jnp.int32)
+        for t in bottom_thresholds:
+            code = code + (text > jnp.uint8(t)).astype(jnp.int32)
+        pack = code << 24
+        for j in range(1, 7):
+            pack = pack | (_shift_static(code, j, n, 0) << (4 * (6 - j)))
+        ia = a + h
+        ib = b + h
+        inb = (ia < n) & (ib < n)
+        wa = jnp.take(pack, jnp.minimum(ia, n - 1))
+        wb = jnp.take(pack, jnp.minimum(ib, n - 1))
+        nc = jnp.zeros((n,), jnp.int32)
+        for k in range(1, 8):  # top-k nibbles equal => common prefix >= k
+            s = 28 - 4 * k
+            nc = nc + ((wa >> s) == (wb >> s)).astype(jnp.int32)
+        h = jnp.where(inb, h + nc, h)
     return h.at[0].set(0)
 
 

@@ -1,0 +1,314 @@
+"""Sequence-parallel PFP scan: ONE collection's expansion row space sharded
+over the mesh's 'seq' axis.
+
+This is the multi-chip path for the DEFAULT (PFP) backend — the long-context
+analog of the reference's flagship chr19-pangenome workload
+(/root/reference/README.md:124-142). The PFP dictionary/parse structures are
+metadata-scale (|D| + |P| << n for repetitive collections, the whole point
+of PFP) and stay replicated; the O(n) row space — expansion operands, the
+big 2-key sort, per-row LCP, and the interval analysis — is sharded:
+
+  stage A  expansion operands (ops/pfp._expand_operands): scans, scatters
+           and one table gather, all sharded by GSPMD with collective
+           carries inserted automatically.
+  stage B  the global 2-key sort becomes a BLOCK-BITONIC sort under
+           shard_map: each shard locally sorts its block, then
+           log2(P)*(log2(P)+1)/2 merge-split rounds exchange whole blocks
+           with the bitonic partner (ppermute over ICI) and keep the
+           lower/upper half of the locally merged pair. Deterministic,
+           capacity-safe (block sizes never change), and the classic
+           accelerator formulation (XLA's own sort lowering is bitonic).
+  stage C  per-row LCP + interval analysis (ops/pfp._analyze_sorted):
+           shifted-slice stencils become halo exchanges under GSPMD.
+  stage D  per-shard compaction under shard_map: each shard compacts the
+           intervals whose boundary row lives in its block, gathering SA/DA
+           windows from a +-W row halo (interval width < W <= block size,
+           so windows never reach past the neighbor block); the host merges
+           the P small window sets by the reference pop order (e asc,
+           L desc) — (e, L) uniquely identifies a canonical interval
+           (ops/intervals._leftmost_mask), so the merge is unambiguous.
+
+HBM budget (chr19 x 20 haplotypes, BASELINE config 5): n ~ 2.33 G rows with
+revcomp; the row-space working set is ~6 int32 arrays x n / P per chip plus
+a 2x transient during the bitonic merge (~4.5 GB/chip at P = 8 vs 16 GB/chip
+on v5e), and the replicated dict-side tables are O(|D|) ~ tens of Mrows.
+Row coordinates beyond 2^31 - 1 (just past chr19 x 20 scale) need a uint32
+coordinate upgrade; per-host partitions + MumemtoM merge
+(parallel/mumemtom.py) cover that regime today.
+
+Correctness: byte-equal to the single-device engine across shard counts,
+modes (strict/partial MUM, MEM), and merge metadata (tests/test_seqpfp.py);
+__graft_entry__.dryrun_multichip runs it on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mumemto_tpu.ops import pfp as ops_pfp
+from mumemto_tpu.ops import pipeline as ops_pipeline
+from mumemto_tpu.parallel.partition import _check_capacity
+
+
+def _bitonic_block_sort(ops, axis: str, nshards: int, num_keys: int):
+    """Globally sort equal block shards of a multi-operand sequence.
+
+    Runs INSIDE shard_map: `ops` are the local (B,)-blocks. Classic
+    merge-split block bitonic network (block compare-exchange = sort the
+    concatenated pair, keep one half); every block stays ascending-sorted
+    internally throughout, so the 0-1-principle argument for bitonic
+    networks applies at block granularity."""
+    i = jax.lax.axis_index(axis)
+    B = ops[0].shape[0]
+    ops = jax.lax.sort(ops, num_keys=num_keys)
+    if nshards == 1:
+        return ops
+    p = nshards.bit_length() - 1
+    for k in range(1, p + 1):
+        for j in range(k - 1, -1, -1):
+            d = 1 << j
+            perm = [(s, s ^ d) for s in range(nshards)]
+            partner = tuple(jax.lax.ppermute(a, axis, perm) for a in ops)
+            asc = ((i >> k) & 1) == 0
+            lower_role = (i & d) == 0
+            keep_lower = asc == lower_role
+            merged = jax.lax.sort(
+                tuple(jnp.concatenate([a, b])
+                      for a, b in zip(ops, partner)),
+                num_keys=num_keys)
+            ops = tuple(jnp.where(keep_lower, mrg[:B], mrg[B:])
+                        for mrg in merged)
+    return ops
+
+
+def _haloed(arr, W: int, axis: str, nshards: int):
+    """Local block extended by W rows of each neighbor:
+    [left-halo | block | right-halo]; local index = global - start + W.
+    Edge shards receive wrapped garbage, which no in-range window ever
+    reads (window columns are clipped to [0, nr) globally first)."""
+    if nshards == 1:
+        z = jnp.zeros((W,), arr.dtype)
+        return jnp.concatenate([z, arr, z])
+    from_prev = [(s, (s + 1) % nshards) for s in range(nshards)]
+    from_next = [(s, (s - 1) % nshards) for s in range(nshards)]
+    left = jax.lax.ppermute(arr[-W:], axis, from_prev)
+    right = jax.lax.ppermute(arr[:W], axis, from_next)
+    return jnp.concatenate([left, arr, right])
+
+
+def _select_local(mask, e, lcp, B: int, M: int, big: int):
+    """Local _select_ordered with GLOBAL (e, L) keys: indices of mask=True
+    rows in pop order (e asc, L desc), padded with B to M entries. `big`
+    must exceed every real e (the global row bucket)."""
+    p = jnp.arange(B, dtype=jnp.int32)
+    key_e = jnp.where(mask, e, jnp.int32(big + 1))
+    key_l = jnp.where(mask, -lcp, jnp.int32(0))
+    _, _, idx = jax.lax.sort((key_e, key_l, p), num_keys=2)
+    return idx[:M]
+
+
+def _local_compact(res_local, nr: int, B: int, W: int, M: int,
+                   num_docs: int, axis: str, nshards: int, mem_mode: bool,
+                   need_ctx: bool):
+    """Per-shard window compaction (stage D). Interval fields live at the
+    interval's boundary row p; s/e are GLOBAL row ids. Window gathers index
+    the +-W haloed local sa/da blocks."""
+    i = jax.lax.axis_index(axis)
+    start = i * B
+    sa_ext = _haloed(res_local["sa"], W, axis, nshards)
+    da_ext = _haloed(res_local["da"], W, axis, nshards)
+
+    def local_cols(s):
+        cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        colc = jnp.clip(cols, 0, nr - 1) - start + W
+        return jnp.clip(colc, 0, B + 2 * W - 1)
+
+    idx = _select_local(res_local["emit"], res_local["e"], res_local["L"],
+                        B, M, nr)
+    ok = idx < B
+    idxc = jnp.minimum(idx, B - 1)
+    s = jnp.take(res_local["s"], idxc)
+    e = jnp.where(ok, jnp.take(res_local["e"], idxc), jnp.int32(nr))
+    L = jnp.take(res_local["L"], idxc)
+    colc = local_cols(s)
+    out = {
+        "count": res_local["emit"].sum(dtype=jnp.int32)[None],
+        "s": s, "e": e, "L": L,
+        "w_sa": jnp.take(sa_ext, colc),
+        "w_da": jnp.take(da_ext, colc).astype(
+            ops_pipeline._da_dtype(num_docs)),
+    }
+    if mem_mode:
+        pv_ext = _haloed(res_local["prev_same"], W, axis, nshards)
+        out["w_prev"] = jnp.take(pv_ext, colc)
+    if need_ctx:
+        cidx = _select_local(res_local["cand"], res_local["e"],
+                             res_local["L"], B, M, nr)
+        cok = cidx < B
+        cidxc = jnp.minimum(cidx, B - 1)
+        cs = jnp.take(res_local["s"], cidxc)
+        ce = jnp.where(cok, jnp.take(res_local["e"], cidxc), jnp.int32(nr))
+        ccolc = local_cols(cs)
+        cols = cs[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        valid = (cols < ce[:, None]) & cok[:, None]
+        wda = jnp.take(da_ext, ccolc)
+        is0 = valid & (wda == 0)
+        has0 = is0.any(axis=1)
+        first0 = jnp.argmax(is0, axis=1).astype(jnp.int32)
+        sa0_col = jnp.clip(jnp.clip(cs + first0, 0, nr - 1) - start + W,
+                           0, B + 2 * W - 1)
+        out.update({
+            "cand_count": res_local["cand"].sum(dtype=jnp.int32)[None],
+            "c_e": ce,
+            "c_L": jnp.take(res_local["L"], cidxc),
+            "c_has0": has0 & cok,
+            "c_sa0": jnp.take(sa_ext, sa0_col),
+            "c_prev": jnp.take(res_local["prev_ctx"], cidxc),
+            "c_next": jnp.take(res_local["next_ctx"], cidxc),
+        })
+    return out
+
+
+def compile_seq_pfp_step(mesh, axis: str, nr: int, nd: int, w: int,
+                         num_docs: int, max_doc_freq: int, size_cap: int,
+                         need_ctx: bool, M: int, mem_mode: bool):
+    """jit the sharded expansion step (stages A-D). The dict/parse side
+    tables arrive replicated; all O(nr) arrays live sharded over `axis`."""
+    nshards = int(mesh.shape[axis])
+    assert nshards & (nshards - 1) == 0, "seq axis must be a power of two"
+    assert nr % nshards == 0, "row bucket must divide the shard count"
+    B = nr // nshards
+    M = min(M, B)  # a shard can't hold more boundaries than rows
+    W = size_cap
+    assert W <= B, "shard blocks must cover one interval width"
+    row_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    spec1 = P(axis)
+    field_names = ("emit", "cand", "s", "e", "L", "sa", "da",
+                   "prev_ctx", "next_ctx", "prev_same")
+
+    def step(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
+             grp_of_pos, d, slt_table, grp_cross, doc_ends,
+             min_match_len, num_distinct, max_total_freq):
+        ops = ops_pfp._expand_operands(
+            parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
+            grp_of_pos, d, doc_ends, nr, nd, w, num_docs)
+        ops = tuple(jax.lax.with_sharding_constraint(a, row_sh)
+                    for a in ops)
+        sorted_ops = jax.shard_map(
+            lambda *a: _bitonic_block_sort(a, axis=axis, nshards=nshards,
+                                           num_keys=2),
+            mesh=mesh, in_specs=(spec1,) * len(ops),
+            out_specs=(spec1,) * len(ops))(*ops)
+        res, counts = ops_pfp._analyze_sorted(
+            sorted_ops, slt_table, grp_cross, nr, nd, w, num_docs,
+            min_match_len, num_distinct, max_total_freq, max_doc_freq,
+            size_cap=size_cap, need_ctx=need_ctx)
+        local = {k: jax.lax.with_sharding_constraint(res[k], row_sh)
+                 for k in field_names}
+        windows = jax.shard_map(
+            functools.partial(_local_compact, nr=nr, B=B, W=W, M=M,
+                              num_docs=num_docs, axis=axis,
+                              nshards=nshards, mem_mode=mem_mode,
+                              need_ctx=need_ctx),
+            mesh=mesh, in_specs=({k: spec1 for k in field_names},),
+            out_specs=spec1)(local)
+        return counts, windows
+
+    return jax.jit(step, out_shardings=(rep, None))
+
+
+def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
+                             pfp_w: int = 10, pfp_mod: int = 100,
+                             M: int = 4096):
+    """Drop-in engine.find_matches over a seq-sharded mesh (PFP backend),
+    byte-identical output to the single-device engine."""
+    from mumemto_tpu import engine
+
+    size_cap = engine.interval_size_cap(opts, rb.num_docs)
+    if size_cap is None or size_cap > 4096:
+        raise ValueError("seq-sharded scan requires a bounded interval "
+                         "size cap (finite f/F or MUM mode)")
+    pfp = ops_pfp.build_pfp(rb.text, w=pfp_w, mod=pfp_mod)
+    prep = ops_pfp.pfp_scan_prepare(pfp, rb.doc_ends, rb.num_docs)
+    nshards = int(mesh.shape[axis])
+    M = min(M, prep["nr"] // nshards)
+    step = compile_seq_pfp_step(
+        mesh, axis, prep["nr"], prep["nd"], pfp.w, rb.num_docs,
+        opts.max_doc_freq, size_cap, opts.merge, M,
+        mem_mode=not opts.mum_mode)
+    counts, windows = step(
+        prep["parse"], prep["d_starts"], prep["cumcnt"], prep["m"],
+        prep["total_rows"], prep["n_text"], prep["isaP"],
+        prep["grp_of_pos"], prep["d"], prep["slt_table"],
+        prep["grp_cross"], prep["doc_ends"],
+        jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
+        jnp.int32(opts.max_total_freq))
+    return _assemble_results(rb, opts, counts, windows, nshards, M)
+
+
+def _assemble_results(rb, opts, counts, windows, nshards: int, M: int):
+    """Host-side merge of per-shard windows into MatchResults, reusing the
+    single-device emitter code (engine._emit_mums/_emit_mems/
+    _merge_thresholds)."""
+    from mumemto_tpu import engine
+
+    n_emit, n_cand, n_runs = (int(x) for x in np.asarray(counts))
+    win = {k: np.asarray(v) for k, v in windows.items()}
+    per_shard = win["count"]
+    _check_capacity(per_shard, M, "seq-sharded scan")
+
+    def shard_rows(key):
+        """Concatenate the real (count-limited) rows of every shard."""
+        a = win[key].reshape((nshards, M) + win[key].shape[1:])
+        return np.concatenate(
+            [a[i, :int(per_shard[i])] for i in range(nshards)])
+
+    results = engine.MatchResults(opts=opts, num_docs=rb.num_docs)
+    results.bwt_runs = n_runs
+    results.text_length = int(rb.text.size)
+    doc_offsets, doc_lens = engine._doc_metadata(rb, opts)
+
+    s = shard_rows("s")
+    e = shard_rows("e")
+    L = shard_rows("L")
+    w_sa = shard_rows("w_sa")
+    w_da = shard_rows("w_da").astype(np.int32)
+    order = np.lexsort((-L, e))
+    s, e, L, w_sa, w_da = s[order], e[order], L[order], w_sa[order], \
+        w_da[order]
+    W = w_sa.shape[1] if w_sa.ndim == 2 else 1
+    valid = (s[:, None] + np.arange(W)) < e[:, None]
+    if opts.mum_mode:
+        engine._emit_mums(results, s, e, L, w_sa, w_da, valid, opts,
+                          doc_offsets, doc_lens, rb.num_docs)
+    else:
+        keep = np.ones(s.size, dtype=bool)
+        if opts.max_doc_freq != 1 and s.size:
+            w_prev = shard_rows("w_prev")[order]
+            unique = (valid & (w_prev < s[:, None])).sum(axis=1)
+            keep = unique >= opts.num_distinct
+        engine._emit_mems(results, s[keep], e[keep], L[keep],
+                          w_sa[keep], w_da[keep], valid[keep], opts,
+                          doc_offsets, doc_lens)
+    if opts.merge:
+        cand_per = win["cand_count"]
+        _check_capacity(cand_per, M, "seq-sharded cand windows")
+
+        def cand_rows(key):
+            a = win[key].reshape((nshards, M) + win[key].shape[1:])
+            return np.concatenate(
+                [a[i, :int(cand_per[i])] for i in range(nshards)])
+
+        ce, cL = cand_rows("c_e"), cand_rows("c_L")
+        corder = np.lexsort((-cL, ce))
+        engine._merge_thresholds(
+            results, cand_rows("c_has0")[corder],
+            cand_rows("c_sa0")[corder], cand_rows("c_prev")[corder],
+            cand_rows("c_next")[corder], doc_offsets, doc_lens)
+    return results

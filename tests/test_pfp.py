@@ -86,3 +86,60 @@ def test_parse_files_roundtrip(rng, tmp_path):
     assert (rebuilt[1:1 + rb.text.size] == rb.text).all()
     assert rebuilt[0] == ops_pfp.DOLLAR_PFP
     assert (rebuilt[1 + rb.text.size:] == ops_pfp.DOLLAR_PFP).all()
+
+
+# ---------------------------------------------------------------------------
+# Reference parser golden fixture (KR hash byte-compatibility)
+# ---------------------------------------------------------------------------
+
+def _reference_parser(text: np.ndarray, w: int, p: int):
+    """Independent test-only transcription of the reference pfparser
+    (newscan.hpp: KR_window:84-115, process_string:310-325,
+    save_update_word:265-306, finish_parse:357-400): returns the .dict
+    byte stream and the .parse u32 rank list a reference run would write.
+    Phrase ranks are by content (probing only perturbs internal hash keys,
+    never the written ranks)."""
+    prime = 1999999973
+    asize_pot = pow(256, w - 1, prime)
+    window = [0] * w
+    h = 0
+    tot = 0
+    word = bytes([ops_pfp.DOLLAR_PFP])
+    phrases = []          # parse order, as bytes
+    for c in text.tolist():
+        k = tot % w
+        tot += 1
+        h = (h + prime - (window[k] * asize_pot) % prime) % prime
+        h = (256 * h + c) % prime
+        window[k] = c
+        word += bytes([c])
+        if h % p == 0 and len(word) > w:
+            phrases.append(word)
+            word = word[-w:]
+    word += bytes([ops_pfp.DOLLAR_PFP]) * w
+    phrases.append(word)
+    uniq = sorted(set(phrases))
+    rank = {ph: i + 1 for i, ph in enumerate(uniq)}
+    dict_bytes = b"".join(ph + bytes([ops_pfp.SEP]) for ph in uniq) \
+        + bytes([ops_pfp.TERM])
+    parse = np.array([rank[ph] for ph in phrases], dtype="<u4")
+    return dict_bytes, parse
+
+
+@pytest.mark.parametrize("w,mod", [(10, 100), (4, 11)])
+def test_parse_files_reference_bytes(rng, tmp_path, w, mod):
+    docs = mutated_collection(rng, 2, base_len=600)
+    rb = refbuilder.build_from_sequences(docs)
+    prefix = str(tmp_path / "ref")
+    ops_pfp.write_parse_files(rb, prefix, w=w, mod=mod)
+    want_dict, want_parse = _reference_parser(rb.text, w, mod)
+    with open(prefix + ".dict", "rb") as f:
+        assert f.read() == want_dict
+    got_parse = np.fromfile(prefix + ".parse", dtype="<u4")
+    assert (got_parse == want_parse).all()
+    # and the resume path reconstructs the identical PFP
+    pfp = ops_pfp.pfp_from_parse_files(prefix, w=w)
+    direct = ops_pfp.build_pfp(rb.text, w=w, mod=mod)
+    assert pfp.n_text == direct.n_text
+    assert (pfp.parse == direct.parse).all()
+    assert (pfp.phrase_ln == direct.phrase_ln).all()

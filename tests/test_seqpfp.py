@@ -1,0 +1,75 @@
+"""Seq-sharded PFP scan == single-device engine, byte for byte.
+
+Shard-count sweep (1/2/4/8), partial-MUM, MEM mode, and merge metadata —
+the cross-shard hazards live at block boundaries (SURVEY.md §7.3 #4), so
+every config uses inputs large enough that matches span shard boundaries.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mumemto_tpu import engine, options, refbuilder
+from mumemto_tpu.parallel import seqpfp
+from tests.conftest import mutated_collection, rand_seq
+
+
+def _mesh(nshards):
+    devs = np.asarray(jax.devices()[:nshards]).reshape(nshards)
+    return jax.sharding.Mesh(devs, ("seq",))
+
+
+def _compare(rb, opts, nshards, M=4096):
+    want = engine.find_matches(rb, opts, backend="pfp").output_bytes()
+    got = seqpfp.find_matches_seq_sharded(
+        rb, opts, _mesh(nshards), M=M).output_bytes()
+    assert want == got
+    return want
+
+
+@pytest.mark.parametrize("nshards", [1, 2, 4, 8])
+def test_seqpfp_shard_sweep(rng, nshards):
+    docs = mutated_collection(rng, 4, base_len=900)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    assert _compare(rb, opts, nshards)
+
+
+def test_seqpfp_partial_mums(rng):
+    docs = mutated_collection(rng, 5, base_len=700)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, num_distinct_docs=-1, quiet=True)
+    assert _compare(rb, opts, 4)
+
+
+def test_seqpfp_mems(rng):
+    rep = rand_seq(rng, 60)
+    docs = mutated_collection(rng, 4, base_len=500, insert_rep=rep)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, rare_freq=2, quiet=True)
+    assert _compare(rb, opts, 4)
+
+
+def test_seqpfp_merge_metadata(rng):
+    docs = mutated_collection(rng, 3, base_len=800)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, merge=True, quiet=True)
+    single = engine.find_matches(rb, opts, backend="pfp")
+    sharded = seqpfp.find_matches_seq_sharded(rb, opts, _mesh(4))
+    assert single.output_bytes() == sharded.output_bytes()
+    assert (single.candidate_thresh == sharded.candidate_thresh).all()
+    dl0 = int(engine._doc_metadata(rb, opts)[1][0])
+    fo, ro = engine.thresh_arrays(single, dl0)
+    fs, rs = engine.thresh_arrays(sharded, dl0)
+    assert (fo == fs).all()
+    assert (ro == rs).all()
+
+
+def test_seqpfp_capacity_overflow(rng):
+    from mumemto_tpu.parallel.partition import WindowCapacityError
+    docs = mutated_collection(rng, 3, base_len=900)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    with pytest.raises(WindowCapacityError):
+        seqpfp.find_matches_seq_sharded(rb, opts, _mesh(2), M=4)
