@@ -170,23 +170,15 @@ def build_main(argv) -> int:
                                   mod=args.hash_mod)
         return 0
 
-    if args.arrays_out:
-        arrs = engine.compute_arrays(rb)
-        sa, lcp, bwt, da = arrs
-        n_real = rb.text.size
-        # real rows only (pad rows carry no information)
-        real = sa < n_real
-        from mumemto_tpu import formats
-        formats.write_5byte(args.output_prefix + ".sa", sa[real].astype(np.uint64))
-        formats.write_5byte(args.output_prefix + ".lcp", lcp[real].astype(np.uint64))
-        formats.write_rl_bwt(args.output_prefix + ".bwt", bwt[real])
-        results = engine.find_matches_from_arrays(*arrs, rb, opts)
-    else:
-        t0 = time.time()
-        results = engine.find_matches(rb, opts, pfp_w=args.pfp_w,
-                                      pfp_mod=args.hash_mod)
-        print(f"[build_main] match scan finished ({time.time() - t0:.2f}s)",
-              file=sys.stderr)
+    t0 = time.time()
+    # -A rides the same scan: the index rows are checkpointed out of the
+    # run that also emits the matches (no separate index construction —
+    # the reference's stream-out, pfp_lcp_mum.hpp:323-378)
+    results = engine.find_matches(
+        rb, opts, pfp_w=args.pfp_w, pfp_mod=args.hash_mod,
+        arrays_out_prefix=args.output_prefix if args.arrays_out else None)
+    print(f"[build_main] match scan finished ({time.time() - t0:.2f}s)",
+          file=sys.stderr)
     engine.write_outputs(results, rb, args.output_prefix)
     print(f"[build_main] {results.num_matches} matches found "
           f"(total {time.time() - t_start:.2f}s)", file=sys.stderr)

@@ -110,16 +110,25 @@ def _doc_metadata(rb, opts):
 
 def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
                  pfp_w: int = 10, pfp_mod: int = 100,
-                 parse_prefix: str | None = None) -> MatchResults:
+                 parse_prefix: str | None = None,
+                 arrays_out_prefix: str | None = None,
+                 show_progress: bool = True) -> MatchResults:
     """Full fused pipeline on one collection (device-side compaction).
 
     backend: "pfp" (default, mirrors the reference's PFP path) or "direct"
     (full-text prefix doubling, the reference's -g gsacak path).
     parse_prefix: resume from PREFIX.dict/.parse instead of rb.text
     (-p/--from-parse, pfp_mum.cpp:122-123).
+    arrays_out_prefix: also write .sa/.lcp/.bwt checkpoint files from the
+    SAME scan (-A; the reference streams them out of the PFP pass for
+    free, pfp_lcp_mum.hpp:323-378 — no separate index construction).
     """
     size_cap = interval_size_cap(opts, rb.num_docs)
+    from mumemto_tpu import progress
     from mumemto_tpu.ops.pfp import _phase_logger
+    # tty/env-gated phase bar (printProgress analog); library callers
+    # disable it via show_progress=False (pfp_lcp_mum.hpp:46-52)
+    bar = progress.activate() if show_progress else None
     phase = _phase_logger()
     if parse_prefix:
         from mumemto_tpu.ops import pfp as ops_pfp
@@ -150,6 +159,9 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
     phase("scan_dispatch")
     n_emit, n_cand, n_runs = (int(x) for x in np.asarray(counts))
     phase("counts_sync")
+    if arrays_out_prefix:
+        _write_arrays_from_res(res, arrays_out_prefix, rb.num_docs)
+        phase("arrays_out")
 
     results = MatchResults(opts=opts, num_docs=rb.num_docs)
     results.bwt_runs = n_runs
@@ -203,7 +215,25 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
         _merge_thresholds(results, has0[:n_cand], sa_first0[:n_cand],
                           prev_ctx[:n_cand], next_ctx[:n_cand],
                           doc_offsets, doc_lens)
+    if bar is not None:
+        progress.deactivate()
     return results
+
+
+def _write_arrays_from_res(res, prefix: str, num_docs: int) -> None:
+    """-A checkpoint files straight from the scan's row arrays (real doc
+    rows only; pads and the trailing-terminator row carry doc id ==
+    num_docs). One O(n) readback — the reference's stream-to-disk analog
+    (pfp_lcp_mum.hpp:323-378)."""
+    from mumemto_tpu import formats
+
+    da = np.asarray(res["da"])
+    real = da < num_docs
+    formats.write_5byte(prefix + ".sa",
+                        np.asarray(res["sa"])[real].astype(np.uint64))
+    formats.write_5byte(prefix + ".lcp",
+                        np.asarray(res["lcp"])[real].astype(np.uint64))
+    formats.write_rl_bwt(prefix + ".bwt", np.asarray(res["bwt"])[real])
 
 
 def compute_arrays(rb, padded_n: int | None = None):

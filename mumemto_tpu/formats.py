@@ -197,7 +197,10 @@ def iter_bumbl(path: str, chunk_size: int = 1 << 16):
         base = f.tell()
         starts_base = base + n_mums * lsize
         strands_base = starts_base + n_mums * n_seqs * 8
-        for lo in range(0, n_mums, chunk_size):
+        from mumemto_tpu.progress import iter_with_progress
+        n_chunks = (n_mums + chunk_size - 1) // chunk_size
+        for lo in iter_with_progress(range(0, n_mums, chunk_size),
+                                     total=n_chunks, desc="read bumbl"):
             hi = min(lo + chunk_size, n_mums)
             c = hi - lo
             f.seek(base + lo * lsize)

@@ -105,7 +105,7 @@ def mum(sequences, min_match_len: int = 20, use_revcomp: bool = True,
     opts = MatchOptions(min_match_len=min_match_len, num_distinct=num_distinct,
                         max_doc_freq=1, max_total_freq=0,
                         use_revcomp=use_revcomp)
-    results = engine.find_matches(rb, opts)
+    results = engine.find_matches(rb, opts, show_progress=False)
     return MumResult(results, _record_lengths(sequences))
 
 
@@ -158,5 +158,5 @@ def mem(sequences, min_match_len: int = 20, use_revcomp: bool = True,
     opts = MatchOptions(min_match_len=min_match_len, num_distinct=num_distinct,
                         max_doc_freq=max_doc_freq, max_total_freq=max_total_freq,
                         use_revcomp=use_revcomp)
-    results = engine.find_matches(rb, opts)
+    results = engine.find_matches(rb, opts, show_progress=False)
     return MemResult(results, _record_lengths(sequences), rb.num_docs)

@@ -248,9 +248,11 @@ class PFPData:
 
 
 def _alphabet(bytes_np: np.ndarray) -> tuple:
-    """Sorted distinct byte values (cheap host bincount)."""
-    return tuple(np.flatnonzero(np.bincount(bytes_np, minlength=256)
-                                ).tolist())
+    """Sorted distinct byte values via a presence mask (np.bincount on
+    uint8 is ~100x slower in this numpy build)."""
+    present = np.zeros(256, np.bool_)
+    present[bytes_np] = True
+    return tuple(np.flatnonzero(present).tolist())
 
 
 def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
@@ -421,9 +423,14 @@ def _pad_phrase_arrays(pfp: PFPData):
 
 def _phase_logger():
     """MUMEMTO_TPU_PROFILE=1: per-stage wall times to stderr (each stage is
-    synced with block_until_ready, so timings are true device costs)."""
+    synced with block_until_ready, so timings are true device costs). Also
+    feeds the interactive progress bar when one is active; with neither,
+    returns a no-op that adds no device syncs."""
     import os
-    if not os.environ.get("MUMEMTO_TPU_PROFILE"):
+    from mumemto_tpu import progress
+    prof = bool(os.environ.get("MUMEMTO_TPU_PROFILE"))
+    bar = progress.active()
+    if not prof and bar is None:
         return lambda name, *arrays: None
     import sys
     import time
@@ -432,8 +439,11 @@ def _phase_logger():
     def log(name, *arrays):
         jax.block_until_ready(arrays)
         now = time.time()
-        print(f"[pfp_scan] {name}: {now - state['t']:.2f}s",
-              file=sys.stderr, flush=True)
+        if prof:
+            print(f"[pfp_scan] {name}: {now - state['t']:.2f}s",
+                  file=sys.stderr, flush=True)
+        if bar is not None:
+            bar.advance(name.strip())
         state["t"] = now
     return log
 
@@ -731,6 +741,7 @@ def _analyze_sorted(sorted_ops, slt_table, grp_cross, nr: int, nd: int,
     res["sa"] = ssas
     res["da"] = da
     res["lcp"] = lcp
+    res["bwt"] = bwts.astype(jnp.uint8)
     # BWT run count over real rows (n/r stat, pfp_mum.cpp:148-150)
     real = key1s >= 0
     change = (bwts[1:] != bwts[:-1]) & real[1:] & real[:-1]

@@ -40,6 +40,7 @@ def scan_collection(text, doc_ends, n: int, num_docs: int,
     res["sa"] = sa
     res["da"] = da
     res["lcp"] = lcp
+    res["bwt"] = bwt
     # BWT run count over real rows (the reference's n/r repetitiveness
     # stat, pfp_mum.cpp:148-150); pad rows (da == num_docs) excluded
     real = da < num_docs
