@@ -5,12 +5,11 @@ dictionary.hpp, parse.hpp, pfp.hpp, pfp_lcp_mum.hpp). The reference streams
 SA rows from the PFP with a priority-queue merge and per-row RMQs; here the
 same math becomes array programs:
 
-  1. parse      rolling window hash over the text (vectorized polynomial
-                hash), break where hash % mod == 0 (newscan.hpp:310-325).
-                Hash function differs from the reference's Karp-Rabin
-                (uint32 odd-multiplier polynomial instead of mod-p): phrase
-                boundaries are an internal representation choice — the final
-                SA/LCP/match output is provably independent of the parse.
+  1. parse      rolling window hash over the text, break where
+                hash % mod == 0 — the EXACT reference Karp-Rabin hash
+                (newscan.hpp:84-115,310-325) vectorized in uint32 two-limb
+                mod-p arithmetic, so .dict/.parse files interoperate with
+                the reference toolchain byte for byte.
   2. dictionary unique phrases sorted lexicographically via a chunked
                 multi-round lax.sort (replaces std::sort + hash dedup).
   3. parse SA   prefix doubling over the integer parse (m ~ n/mod elements),
@@ -255,6 +254,17 @@ def _alphabet(bytes_np: np.ndarray) -> tuple:
     return tuple(np.flatnonzero(present).tolist())
 
 
+# NOTE on phrase-length capping (tried, reverted): inserting artificial
+# breaks to cap maxlen (and thus the dict SA/LCP depth) BREAKS the PFP
+# sort identity. The expansion orders same-alpha rows by parse rank and
+# different-alpha rows by dictionary suffix order, which is only the text
+# order when no phrase-END w-window occurs strictly inside another phrase
+# (else one alpha is a strict prefix of another and the SEP comparison
+# diverges from the text continuation). KR triggers guarantee that
+# property globally; position-periodic splits cannot (verified by a
+# failing suffix-order diff at split_cap=64).
+
+
 def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
     phase = _phase_logger()
     n_text = int(text_np.size)
@@ -338,11 +348,14 @@ def _dict_setup(ext, phrase_st, phrase_ln, d_starts, npz, total,
     ch = jnp.take(ext, jnp.clip(src, 0, ne - 1))
     d = jnp.where(in_phrase, ch, jnp.uint8(SEP))
     d = jnp.where(pos >= total, jnp.uint8(TERM), d)  # TERM at total, 0-pad after
-    # pid table for suffix classification: 0 on separator/terminator/pad
-    good = in_phrase & (pos < total)
-    pid_final = jnp.where(good, pid, 0).astype(jnp.int32)
-    plen_final = jnp.take(phrase_ln, pid_final)  # phrase_ln[0] == 0
-    return d, pid_final, off.astype(jnp.int32), plen_final.astype(jnp.int32)
+    # one per-position table instead of (pid, off, plen): the only
+    # downstream consumers are "valid proper phrase suffix?" and its char
+    # length, so store suf_len for proper (off >= 1) in-phrase positions
+    # and -1 elsewhere — _dict_groups gathers it ONCE by saD and applies
+    # the >= w validity cut itself
+    good = in_phrase & (pos < total) & (off >= 1)
+    meta = jnp.where(good, plen - off, -1)
+    return d, meta.astype(jnp.int32)
 
 
 def _dict_starts(phrase_ln: np.ndarray) -> np.ndarray:
@@ -354,19 +367,15 @@ def _dict_starts(phrase_ln: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "w"))
-def _dict_groups(d, saD, lcpD, pos_phrase, pos_off, phrase_ln_by_pos,
-                 nd: int, w: int):
+def _dict_groups(d, saD, lcpD, pos_meta, nd: int, w: int):
     """Group valid dict suffixes (same string across phrases).
 
     Returns device tables over D coords (no O(nd) host readbacks):
       grp_of_pos[d_pos] = group id of the valid suffix at d_pos, else -1
       grp_cross[g]      = cross-group LCP at the first row of group g
     """
-    ph = jnp.take(pos_phrase, saD)          # phrase id of suffix start
-    off = jnp.take(pos_off, saD)            # offset within phrase
-    plen = jnp.take(phrase_ln_by_pos, saD)  # phrase char length
-    suf_len = plen - off
-    valid = (ph > 0) & (off >= 1) & (suf_len >= w)
+    suf_len = jnp.take(pos_meta, saD)  # proper-suffix char length, else -1
+    valid = suf_len >= w
 
     gapmin = _segmented_min_after_valid(lcpD, valid)
 
@@ -463,7 +472,7 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
         _pad_phrase_arrays(pfp)
     d_starts_dev = jnp.asarray(d_starts_pad)
     phrase_ln_dev = jnp.asarray(phrase_ln)
-    d, pid_by_pos, off_by_pos, plen_of_pos = _dict_setup(
+    d, pos_meta = _dict_setup(
         pfp.ext, jnp.asarray(phrase_st), phrase_ln_dev, d_starts_dev,
         jnp.int32(npz), jnp.int32(total_real),
         nd, pfp.ext.shape[0])
@@ -504,8 +513,7 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
     phase("dict_lcp", lcpD)
     isaD = _isa_dev(saD, nd)
 
-    grp_of_pos, grp_cross = _dict_groups(
-        d, saD, lcpD, pid_by_pos, off_by_pos, plen_of_pos, nd, w)
+    grp_of_pos, grp_cross = _dict_groups(d, saD, lcpD, pos_meta, nd, w)
     phase("dict_groups", grp_of_pos, grp_cross)
 
     # --- parse SA over P' = parse + [0]
