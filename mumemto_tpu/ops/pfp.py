@@ -167,6 +167,15 @@ def sort_phrases(ext_np: np.ndarray, st_np: np.ndarray,
     multi-minute one-time compile. This is metadata-scale work, the same
     altitude as file IO; the O(n) stages stay on device.
     """
+    from mumemto_tpu.native import get_native
+    nat = get_native()
+    if nat is not None and hasattr(nat, "sort_phrases"):
+        order_b, grp_b = nat.sort_phrases(
+            np.ascontiguousarray(ext_np),
+            np.ascontiguousarray(st_np, dtype=np.int32),
+            np.ascontiguousarray(ln_np, dtype=np.int32))
+        return (np.frombuffer(order_b, dtype=np.int32).copy(),
+                np.frombuffer(grp_b, dtype=np.int32).copy())
     m = int(st_np.size)
     keys = [ext_np[s:s + l].tobytes()
             for s, l in zip(st_np.tolist(), ln_np.tolist())]

@@ -18,6 +18,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -216,8 +217,63 @@ PyObject* py_revcomp(PyObject*, PyObject* args) {
   return out;
 }
 
+// sort_phrases(ext_bytes, st_i32, ln_i32) -> (order_i32_bytes, grp_i32_bytes)
+//
+// Lexicographic argsort of PFP phrase records (byte spans of `ext`) plus
+// dense equal-content group ids — the native twin of
+// mumemto_tpu/ops/pfp.sort_phrases (the reference's std::sort over word
+// strings, newscan.hpp:367-380). Record count is m ~ n/mod; memcmp
+// early-exits at the first differing byte, so this is milliseconds where
+// the CPython sort costs hundreds of ms at pangenome scale.
+PyObject* py_sort_phrases(PyObject*, PyObject* args) {
+  Py_buffer ext, st, ln;
+  if (!PyArg_ParseTuple(args, "y*y*y*", &ext, &st, &ln)) return nullptr;
+  const unsigned char* e = static_cast<const unsigned char*>(ext.buf);
+  const int32_t* stp = static_cast<const int32_t*>(st.buf);
+  const int32_t* lnp = static_cast<const int32_t*>(ln.buf);
+  const size_t m = static_cast<size_t>(st.len) / sizeof(int32_t);
+  PyObject* order_b = PyBytes_FromStringAndSize(nullptr,
+      static_cast<Py_ssize_t>(m * sizeof(int32_t)));
+  PyObject* grp_b = PyBytes_FromStringAndSize(nullptr,
+      static_cast<Py_ssize_t>(m * sizeof(int32_t)));
+  if (order_b == nullptr || grp_b == nullptr) {
+    Py_XDECREF(order_b); Py_XDECREF(grp_b);
+    PyBuffer_Release(&ext); PyBuffer_Release(&st); PyBuffer_Release(&ln);
+    return nullptr;
+  }
+  int32_t* order = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(order_b));
+  int32_t* grp = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(grp_b));
+  Py_BEGIN_ALLOW_THREADS
+  for (size_t i = 0; i < m; ++i) order[i] = static_cast<int32_t>(i);
+  auto less = [&](int32_t a, int32_t b) {
+    const int32_t la = lnp[a], lb = lnp[b];
+    const int c = std::memcmp(e + stp[a], e + stp[b],
+                              static_cast<size_t>(la < lb ? la : lb));
+    if (c != 0) return c < 0;
+    if (la != lb) return la < lb;
+    return a < b;  // deterministic order among identical phrases
+  };
+  std::sort(order, order + m, less);
+  int32_t g = -1;
+  for (size_t r = 0; r < m; ++r) {
+    if (r == 0) {
+      g = 0;
+    } else {
+      const int32_t a = order[r - 1], b = order[r];
+      const bool eq = lnp[a] == lnp[b] &&
+          std::memcmp(e + stp[a], e + stp[b],
+                      static_cast<size_t>(lnp[a])) == 0;
+      if (!eq) ++g;
+    }
+    grp[r] = g;
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&ext); PyBuffer_Release(&st); PyBuffer_Release(&ln);
+  return Py_BuildValue("(NN)", order_b, grp_b);
+}
+
 PyObject* py_version(PyObject*, PyObject*) {
-  return PyUnicode_FromString("1.0");
+  return PyUnicode_FromString("1.1");
 }
 
 PyMethodDef kMethods[] = {
@@ -227,6 +283,9 @@ PyMethodDef kMethods[] = {
      "'fwd$[rc$]' document byte layout."},
     {"revcomp", py_revcomp, METH_VARARGS,
      "revcomp(seq) -> bytes: reverse complement (seqtk table)."},
+    {"sort_phrases", py_sort_phrases, METH_VARARGS,
+     "sort_phrases(ext, st_i32, ln_i32) -> (order_i32, grp_i32) bytes: "
+     "lexicographic argsort + dense group ids of phrase byte spans."},
     {"version", py_version, METH_NOARGS, "native module version"},
     {nullptr, nullptr, 0, nullptr},
 };
