@@ -18,6 +18,16 @@
  *   mumemto_tpu_free(r);
  *
  * Link: -lmumemto_tpu (and ensure libpython3.x is resolvable).
+ *
+ * Runtime model / cost notes:
+ *  - The first call initializes the embedded interpreter AND the JAX/TPU
+ *    backend: expect seconds (warm compile cache) to minutes (cold cache,
+ *    new shapes) of one-time latency. Subsequent calls in the same process
+ *    reuse the live backend and run at engine speed.
+ *  - The interpreter stays resident for the process lifetime; there is no
+ *    teardown API (CPython cannot be safely re-initialized).
+ *  - Calls are serialized on the embedded interpreter's GIL: concurrent
+ *    callers are safe but run one at a time.
  */
 
 #ifndef MUMEMTO_TPU_H_
