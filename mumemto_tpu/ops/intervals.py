@@ -249,7 +249,19 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
         (bwt[1:] != bwt[:-1]).astype(jnp.int32),
     ])
     last_change = jax.lax.cummax(p * changed)
-    lm = jnp.take(last_change, jnp.clip(e - 1, 0, n - 1)) > s
+    if windowed:
+        # e - p < cap: select shift(last_change, k-1) where e == p + k —
+        # cap-1 shifted slices replace an O(n) random gather
+        lmv = jnp.full((n,), -1, jnp.int32)
+        for k in range(1, size_cap):
+            sh = jnp.concatenate(
+                [last_change[k - 1:],
+                 jnp.broadcast_to(last_change[-1:], (k - 1,))]
+            ) if k > 1 else last_change
+            lmv = jnp.where(e == p + k, sh, lmv)
+        lm = lmv > s
+    else:
+        lm = jnp.take(last_change, jnp.clip(e - 1, 0, n - 1)) > s
 
     # per-doc frequency cap: violated iff some doc occurs > f times in [s, e)
     if windowed and max_doc_freq == 1:
@@ -263,8 +275,22 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
             hit = (~found) & (left == da)
             prev = jnp.where(hit, p - k, prev)
             found |= hit
-        mindup = _first_violation_from(prev)
-        doc_freq_ok = jnp.take(mindup, jnp.clip(s, 0, n - 1)) >= e
+        # violation: some r in (s, e) has prev[r] >= s; r is within
+        # cap-2 rows of p on either side, so 2*cap-3 shifted terms
+        # replace the scatter-min + reverse-cummin + gather chain
+        bad = jnp.zeros((n,), bool)
+        for delta in range(-(size_cap - 2), size_cap - 1):
+            if delta == 0:
+                pr = prev
+            elif delta > 0:
+                pr = jnp.concatenate(
+                    [prev[delta:], jnp.full((delta,), -1, jnp.int32)])
+            else:
+                pr = jnp.concatenate(
+                    [jnp.full((-delta,), -1, jnp.int32), prev[:delta]])
+            rpos = p + delta
+            bad |= (rpos > s) & (rpos < e) & (pr >= s)
+        doc_freq_ok = ~bad
     elif max_doc_freq > 0:
         prev = prev_same_doc(da)
         prevf = _compose_prev(prev, max_doc_freq)
@@ -276,9 +302,21 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
 
     cand = is_cand & leftmost & closed & cond_size & cond_freq & doc_freq_ok
 
-    if need_ctx:
-        # merge-threshold inputs (mem_finder.hpp:311-347) — two O(n)
-        # gathers only paid when merge metadata is requested
+    if need_ctx and windowed:
+        # merge-threshold inputs (mem_finder.hpp:311-347); p - s and
+        # e - p are < cap, so shifted selects replace the two gathers
+        prev_ctx = jnp.zeros((n,), jnp.int32)
+        next_ctx = jnp.zeros((n,), jnp.int32)
+        for k in range(1, size_cap):
+            left = jnp.concatenate([jnp.zeros((k,), jnp.int32), lcp[:-k]])
+            prev_ctx = jnp.where(s == p - k, left, prev_ctx)
+            right = jnp.concatenate([lcp[k:], jnp.zeros((k,), jnp.int32)])
+            next_ctx = jnp.where(e == p + k, right, next_ctx)
+        # e == n (open) rows read lcp[n] = 0 in the gather form; the
+        # select form leaves 0 — identical (clip read lcp[n-1] before,
+        # but open intervals are never candidates)
+    elif need_ctx:
+        # two O(n) gathers only paid when merge metadata is requested
         prev_ctx = jnp.take(lcp, jnp.clip(s, 0, n - 1))
         next_ctx = jnp.take(lcp, jnp.clip(e, 0, n - 1))
     else:

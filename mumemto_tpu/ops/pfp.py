@@ -348,13 +348,15 @@ def _dict_setup(ext, phrase_st, phrase_ln, d_starts, npz, total,
     ids = jnp.arange(1, npzb + 1, dtype=jnp.int32)
     # drop pad-phrase scatters entirely (their d_starts == total)
     st_idx = jnp.where(ids <= npz, jnp.clip(d_starts[1:], 0, nd - 1), nd)
-    pid_fill = jnp.zeros((nd,), jnp.int32).at[st_idx].max(ids, mode="drop")
-    pid = jnp.maximum(jax.lax.cummax(pid_fill), 1)  # block id per position
-    off = pos - jnp.take(d_starts, pid)
-    plen = jnp.take(phrase_ln, pid)
-    in_phrase = off < plen
-    src = jnp.take(phrase_st, pid) + off
-    ch = jnp.take(ext, jnp.clip(src, 0, ne - 1))
+    # per-position block attributes via delta-scatter + cumsum fills
+    # (block starts are ascending): the ONLY remaining O(nd) random
+    # gather is the phrase byte fetch itself
+    d_start_of = _fill_per_occ(d_starts[1:], st_idx, nd)
+    st_of = _fill_per_occ(phrase_st[1:], st_idx, nd)
+    plen_of = _fill_per_occ(phrase_ln[1:], st_idx, nd)
+    off = pos - d_start_of
+    in_phrase = off < plen_of
+    ch = jnp.take(ext, jnp.clip(st_of + off, 0, ne - 1))
     d = jnp.where(in_phrase, ch, jnp.uint8(SEP))
     d = jnp.where(pos >= total, jnp.uint8(TERM), d)  # TERM at total, 0-pad after
     # one per-position table instead of (pid, off, plen): the only
@@ -363,7 +365,7 @@ def _dict_setup(ext, phrase_st, phrase_ln, d_starts, npz, total,
     # and -1 elsewhere — _dict_groups gathers it ONCE by saD and applies
     # the >= w validity cut itself
     good = in_phrase & (pos < total) & (off >= 1)
-    meta = jnp.where(good, plen - off, -1)
+    meta = jnp.where(good, plen_of - off, -1)
     return d, meta.astype(jnp.int32)
 
 
@@ -373,6 +375,23 @@ def _dict_starts(phrase_ln: np.ndarray) -> np.ndarray:
     starts = np.zeros(npz + 1, np.int64)
     starts[1:] = np.cumsum(phrase_ln[1:] + 1) - (phrase_ln[1:] + 1)
     return starts.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "w", "lvl_cap",
+                                             "lvl_static", "seed_thr",
+                                             "lcp_thr"))
+def _dict_index(d, pos_meta, nd: int, w: int, lvl_cap: int, lvl_static: int,
+                seed_thr, lcp_thr):
+    """Fused dictionary index: depth-capped SA doubling + LCP descent +
+    ISA + suffix grouping in ONE program (one launch; the doubling
+    history never round-trips through HBM between programs)."""
+    saD, histD, lvlD = ops_suffix._suffix_array_impl(
+        d, nd, packed_init=True, max_lvl=lvl_cap, alpha_thresholds=seed_thr)
+    lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd, levels=lvl_static,
+                                text=d, bottom_thresholds=lcp_thr)
+    isaD = _isa_dev(saD, nd)
+    grp_of_pos, grp_cross = _dict_groups(d, saD, lcpD, pos_meta, nd, w)
+    return lcpD, isaD, grp_of_pos, grp_cross
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "w"))
@@ -513,38 +532,31 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
     lcp_thr = tuple(alpha[:-1]) if len(alpha) <= 16 else None
     if seed_thr is not None and lcp_thr is not None:
         lcp_thr = seed_thr  # share one compile for canonical inputs
-    saD, histD, lvlD = ops_suffix._suffix_array_impl(
-        d, nd, packed_init=True, max_lvl=lvl_cap, alpha_thresholds=seed_thr)
-    phase("dict_sa", saD)
-    lvl_static = min((int(lvlD) + 1) // 2 * 2, histD.shape[0], lvl_cap)
-    lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd, levels=lvl_static,
-                                text=d, bottom_thresholds=lcp_thr)
-    phase("dict_lcp", lcpD)
-    isaD = _isa_dev(saD, nd)
+    # the depth-capped unrolled doubling always runs min(levels(nd),
+    # lvl_cap) rounds — known on host, so NO device readback of lvlD:
+    # the whole dict -> parse -> expansion chain dispatches asynchronously
+    lvl_run = min(ops_suffix._num_levels(nd), lvl_cap) + 1
+    lvl_static = min((lvl_run + 1) // 2 * 2, lvl_run, lvl_cap)
+    lcpD, isaD, grp_of_pos, grp_cross = _dict_index(
+        d, pos_meta, nd, w, lvl_cap, lvl_static, seed_thr, lcp_thr)
+    phase("dict_index", grp_of_pos, grp_cross)
 
-    grp_of_pos, grp_cross = _dict_groups(d, saD, lcpD, pos_meta, nd, w)
-    phase("dict_groups", grp_of_pos, grp_cross)
-
-    # --- parse SA over P' = parse + [0]
+    # --- parse SA over P' = parse + [0], s_lcp_T, and its RMQ table as
+    # ONE fused program (several small mp-sized stages; separate launches
+    # would each pay the tunnel dispatch latency)
     m = pfp.m
     mp = bucket(m + 1, lo=64)
     pprime = np.zeros(mp, np.int32)
     pprime[:m] = pfp.parse
     pprime_dev = jnp.asarray(pprime)
-    saP, histP, lvlP = ops_suffix._suffix_array_impl(pprime_dev, mp)
-    klcp = ops_suffix._lcp_impl(saP, histP, lvlP, mp)  # phrase-count lcp
-    isaP = _isa_dev(saP, mp)
-
-    # --- s_lcp_T equivalent over parse-SA adjacency
     charlen = np.zeros(mp + 1, np.int64)
     charlen[:m] = pfp.phrase_ln[pfp.parse] - w
     cumC = np.concatenate([[0], np.cumsum(charlen)]).astype(np.int64)
-    slt = _build_slt(pprime_dev, saP, klcp, jnp.asarray(cumC),
-                     d_starts_dev, lcpD, isaD, mp, nd)
-    # mask SLT rows beyond the real m+1 suffixes: pad positions of P'
-    # (zeros) sort to the very front together with the terminator; their
+    # mask note: SLT rows beyond the real m+1 suffixes (pad positions of
+    # P', zeros) sort to the very front with the terminator; their
     # adjacency lcps are 0 anyway since charlen/cumC are 0 there.
-    slt_table = _rmq_prepare(slt)
+    isaP, slt_table = _parse_side(pprime_dev, jnp.asarray(cumC),
+                                  d_starts_dev, lcpD, isaD, mp, nd)
     phase("parse_side", slt_table[0])
 
     # --- expand rows
@@ -589,6 +601,17 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
         jnp.int32(max_total_freq), max_doc_freq, size_cap, need_ctx)
     phase("expand_analyze", counts)
     return res, counts, prep["nr"]
+
+
+@functools.partial(jax.jit, static_argnames=("mp", "nd"))
+def _parse_side(pprime, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
+    """Fused parse-side program: parse SA + rank-descent LCP + ISA +
+    s_lcp_T (_build_slt) + its sparse RMQ table, all mp-scale."""
+    saP, histP, lvlP = ops_suffix._suffix_array_impl(pprime, mp)
+    klcp = ops_suffix._lcp_impl(saP, histP, lvlP, mp)
+    isaP = _isa_dev(saP, mp)
+    slt = _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp, nd)
+    return isaP, tuple(_rmq_prepare(slt))
 
 
 @functools.partial(jax.jit, static_argnames=("mp", "nd"))
