@@ -12,11 +12,17 @@ Enabled with MUMEMTO_TPU_PALLAS=1 (ops/pfp.compute_breaks consults
 bit-identical (tested in interpreter mode against the XLA path).
 
 STATUS on the current environment: Mosaic compilation of this kernel
-through the tunneled axon device stalls indefinitely (observed even at 1M
-elements; the same compiler pathology class as tuple-carry
-lax.associative_scan, see ops/pfp._segmented_min_after_valid). The kernel
-is therefore an opt-in exhibit + the round-2 halo-blocking template, not
-the default path; on a directly-attached TPU it should be re-evaluated.
+through the tunneled axon device stalls indefinitely (the same compiler
+pathology class as tuple-carry lax.associative_scan, see
+ops/pfp._segmented_min_after_valid). RE-TESTED round 2 (2026-08-17) on
+the current device: a 1M-element compile hung > 400 s AND wedged the
+remote PJRT service for several minutes afterwards (even `import jax`
+in fresh processes blocked until the remote compile died). The kernel
+stays an opt-in exhibit + halo-blocking template; re-evaluate only on a
+directly-attached TPU. Note the measured perf context: the XLA
+formulation of this mask costs 0.03 s at 16.7M chars — the hot paths
+this round are hardware-gather-bound (LCP descent, RMQ lookups), which
+a Pallas kernel cannot accelerate (same gather unit).
 
 Blocking scheme (the round-2 template for halo kernels): the input is
 front-padded by one block so every grid step can read (prev, cur) block
