@@ -99,6 +99,44 @@ def read_filelist(path: str) -> list:
     return files
 
 
+def _is_device_oom(e: Exception) -> bool:
+    msg = str(e)
+    return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+
+
+def _oom_partition_fallback(args, opts, files, err):
+    """Device OOM during the union scan: automatically fall back to the
+    MumemtoM partition-merge scheme (per-partition runs + threshold merge,
+    README.md:124-142) when the run is eligible — strict multi-MUM mode
+    over >= 3 input files. merge(partitions) == run-on-union is the tested
+    invariant, so the fallback is output-identical. Returns an exit code,
+    or None when not eligible (caller re-raises)."""
+    eligible = (opts.mum_mode and opts.num_distinct == len(files)
+                and not opts.merge and files and len(files) >= 3)
+    if not eligible:
+        return None
+    from mumemto_tpu.parallel import mumemtom
+    nparts = 2
+    while nparts <= max(2, len(files) - 1):
+        print(f"[build_main] device OOM on the union scan — retrying as "
+              f"{nparts} MumemtoM partitions + anchor merge", file=sys.stderr)
+        try:
+            mumemtom.run_partitioned_files(
+                files, args.output_prefix, num_partitions=nparts,
+                anchor=True, min_match_len=args.min_match_len,
+                use_revcomp=args.use_rcomp)
+            print("[build_main] partitioned fallback succeeded",
+                  file=sys.stderr)
+            return 0
+        except Exception as e2:
+            if not _is_device_oom(e2):
+                raise
+            nparts *= 2
+    print("Error: the device ran out of memory even at maximum "
+          "partitioning.", file=sys.stderr)
+    return 137
+
+
 def build_main(argv) -> int:
     from mumemto_tpu import engine, options, refbuilder
 
@@ -171,12 +209,21 @@ def build_main(argv) -> int:
         return 0
 
     t0 = time.time()
-    # -A rides the same scan: the index rows are checkpointed out of the
-    # run that also emits the matches (no separate index construction —
-    # the reference's stream-out, pfp_lcp_mum.hpp:323-378)
-    results = engine.find_matches(
-        rb, opts, pfp_w=args.pfp_w, pfp_mod=args.hash_mod,
-        arrays_out_prefix=args.output_prefix if args.arrays_out else None)
+    try:
+        # -A rides the same scan: the index rows are checkpointed out of
+        # the run that also emits the matches (no separate index
+        # construction — the reference's stream-out,
+        # pfp_lcp_mum.hpp:323-378)
+        results = engine.find_matches(
+            rb, opts, pfp_w=args.pfp_w, pfp_mod=args.hash_mod,
+            arrays_out_prefix=args.output_prefix if args.arrays_out else None)
+    except Exception as e:
+        if not _is_device_oom(e):
+            raise
+        rc = _oom_partition_fallback(args, opts, files, e)
+        if rc is not None:
+            return rc
+        raise
     print(f"[build_main] match scan finished ({time.time() - t0:.2f}s)",
           file=sys.stderr)
     engine.write_outputs(results, rb, args.output_prefix)

@@ -43,3 +43,42 @@ def test_run_partitioned_string_equals_union(rng, tmp_path):
     merged = mumemtom.run_partitioned_files(
         paths, str(tmp_path / "smerged"), num_partitions=2, anchor=False)
     assert _sorted_set(merged, 6) == _sorted_set(union + ".mums", 6)
+
+
+def test_oom_auto_partition_fallback(rng, tmp_path, monkeypatch):
+    """Device OOM on the union scan auto-falls back to MumemtoM partitions
+    and produces the union-equivalent MUM set (cli._oom_partition_fallback)."""
+    from mumemto_tpu import engine
+
+    genomes = _genomes(rng, 5)
+    paths = _write_fastas(tmp_path, genomes, [f"o{i}" for i in range(5)])
+    union = str(tmp_path / "union")
+    assert cli.main(paths + ["-o", union]) == 0
+
+    real = engine.find_matches
+
+    def oom_on_union(rb, opts, **kw):
+        if rb.num_docs == 5:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating 123 bytes")
+        return real(rb, opts, **kw)
+
+    monkeypatch.setattr(engine, "find_matches", oom_on_union)
+    out = str(tmp_path / "oomrun")
+    assert cli.main(paths + ["-o", out]) == 0
+    assert _sorted_set(out + ".mums", 5) == _sorted_set(union + ".mums", 5)
+
+
+def test_oom_ineligible_reraises(rng, tmp_path, monkeypatch):
+    """MEM mode cannot be partition-merged: the OOM surfaces as the
+    advisory error path (exit 137), not a silent wrong fallback."""
+    from mumemto_tpu import engine
+
+    genomes = _genomes(rng, 4)
+    paths = _write_fastas(tmp_path, genomes, [f"q{i}" for i in range(4)])
+
+    def always_oom(rb, opts, **kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+
+    monkeypatch.setattr(engine, "find_matches", always_oom)
+    assert cli.main(paths + ["-o", str(tmp_path / "x"), "-f", "3"]) == 137
