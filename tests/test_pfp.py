@@ -143,3 +143,19 @@ def test_parse_files_reference_bytes(rng, tmp_path, w, mod):
     assert pfp.n_text == direct.n_text
     assert (pfp.parse == direct.parse).all()
     assert (pfp.phrase_ln == direct.phrase_ln).all()
+
+
+def test_pfp_unpacked_operand_path(rng, monkeypatch):
+    """nd >= 2^24 (or tight bit budgets) switches _expand_and_analyze to
+    the 6-operand sort; force that branch and require byte-equality (at
+    test scale it is otherwise never exercised)."""
+    docs = mutated_collection(rng, 3, base_len=500)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    want = naive.oracle_output(rb, opts)
+    real = ops_pfp._pack_da_mode
+    monkeypatch.setattr(ops_pfp, "_pack_da_mode",
+                        lambda nr, nd, num_docs: (False, real(nr, nd,
+                                                              num_docs)[1]))
+    got = engine.find_matches(rb, opts, backend="pfp").output_bytes()
+    assert want == got
