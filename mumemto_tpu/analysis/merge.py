@@ -67,45 +67,40 @@ def merge_partitions(p1, p2):
     idx2 = np.searchsorted(starts2, pos, side="right") - 1
     ok = (idx1 >= 0) & (idx2 >= 0)
 
-    out_lengths, out_starts, out_strands = [], [], []
+    # fully vectorized over the (sparse) event positions: the reference's
+    # per-anchor-position scan touches |anchor| positions; candidate
+    # emissions only happen at MUM-start events, so everything below is
+    # O(#events) numpy
     new_bv = np.zeros(n_anchor, dtype=bool)
-    for t in np.flatnonzero(ok):
-        i = int(pos[t])
-        m1 = int(idx1[t])
-        m2 = int(idx2[t])
-        delta1 = i - int(starts1[m1])
-        delta2 = i - int(starts2[m2])
-        if delta1 > l1[m1] or delta2 > l2[m2]:
-            continue
-        s1_len = int(l1[m1]) - delta1
-        s2_len = int(l2[m2]) - delta2
-        new_len = min(s1_len, s2_len)
-        if new_len > new_nb[i] and new_len >= MIN_MERGE_LEN:
-            off1 = _fix_neg_strand(s1[m1], t1[m1], delta1, new_len, s1_len)
-            off2 = _fix_neg_strand(s2[m2], t2[m2], delta2, new_len, s2_len)
-            out_lengths.append(new_len)
-            out_starts.append(np.concatenate([off1, off2[1:]]))
-            out_strands.append(np.concatenate([t1[m1], t2[m2][1:]]))
-            new_bv[off1[0]] = True
+    t = np.flatnonzero(ok)
+    i = pos[t]
+    m1 = idx1[t]
+    m2 = idx2[t]
+    delta1 = i - starts1[m1]
+    delta2 = i - starts2[m2]
+    covered = (delta1 <= l1[m1]) & (delta2 <= l2[m2])
+    s1_len = l1[m1] - delta1
+    s2_len = l2[m2] - delta2
+    new_len = np.minimum(s1_len, s2_len)
+    emit = covered & (new_len > new_nb[i]) & (new_len >= MIN_MERGE_LEN)
 
-    if out_lengths:
-        lengths = np.asarray(out_lengths, dtype=np.int64)
-        starts = np.stack(out_starts)
-        strands = np.stack(out_strands)
-        order = np.argsort(starts[:, 0], kind="stable")
-        lengths, starts, strands = lengths[order], starts[order], strands[order]
-    else:
-        lengths = np.zeros(0, dtype=np.int64)
-        starts = np.zeros((0, s1.shape[1] + s2.shape[1] - 1), dtype=np.int64)
-        strands = np.zeros((0, s1.shape[1] + s2.shape[1] - 1), dtype=bool)
-    return lengths, starts, strands, new_bv, new_nb
+    i, m1, m2 = i[emit], m1[emit], m2[emit]
+    delta1, delta2 = delta1[emit], delta2[emit]
+    s1_len, s2_len = s1_len[emit], s2_len[emit]
+    lengths = new_len[emit].astype(np.int64)
+    # '+' offsets shift by the left trim, '-' by the right trim
+    # (merge_candidates.cpp:97-104), broadcast over the offset columns
+    off1 = s1[m1] + np.where(t1[m1], delta1[:, None],
+                             (s1_len - lengths)[:, None])
+    off2 = s2[m2] + np.where(t2[m2], delta2[:, None],
+                             (s2_len - lengths)[:, None])
+    starts = np.concatenate([off1, off2[:, 1:]], axis=1)
+    strands = np.concatenate([t1[m1], t2[m2][:, 1:]], axis=1)
+    new_bv[off1[:, 0]] = True
 
-
-def _fix_neg_strand(offsets, strands, cand_offset, new_len, old_len):
-    """merge_candidates.cpp:97-104: '+' offsets shift by the left trim,
-    '-' offsets shift by the right trim."""
-    len_diff = old_len - new_len
-    return offsets + np.where(strands, cand_offset, len_diff)
+    order = np.argsort(starts[:, 0], kind="stable") if lengths.size else \
+        np.zeros(0, np.int64)
+    return (lengths[order], starts[order], strands[order], new_bv, new_nb)
 
 
 def anchor_merge(mum_files, output: str, verbose: bool = False):
