@@ -83,6 +83,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-g", "--use-gsacak", action="store_true",
                     help="use the direct suffix-array backend (no PFP)")
     ap.add_argument("-P", "--only-parse", action="store_true")
+    ap.add_argument("--seq-shards", type=int, default=0, metavar="N",
+                    help="shard ONE collection's scan over N devices on the "
+                         "'seq' mesh axis (multi-chip long-context mode; "
+                         "power of two, requires N attached devices)")
     ap.add_argument("-s", "--no-overlap", dest="overlap", action="store_false",
                     help=argparse.SUPPRESS)  # parsed but unused (legacy)
     ap.add_argument("--version", action="version", version=VERSION)
@@ -210,13 +214,29 @@ def build_main(argv) -> int:
 
     t0 = time.time()
     try:
-        # -A rides the same scan: the index rows are checkpointed out of
-        # the run that also emits the matches (no separate index
-        # construction — the reference's stream-out,
-        # pfp_lcp_mum.hpp:323-378)
-        results = engine.find_matches(
-            rb, opts, pfp_w=args.pfp_w, pfp_mod=args.hash_mod,
-            arrays_out_prefix=args.output_prefix if args.arrays_out else None)
+        if args.seq_shards:
+            # multi-chip long-context mode: the expansion row space of
+            # this ONE collection sharded over the seq mesh axis
+            import jax
+            from mumemto_tpu.parallel import seqpfp
+            devs = jax.devices()
+            if len(devs) < args.seq_shards:
+                print(f"Error: --seq-shards {args.seq_shards} needs that "
+                      f"many devices, have {len(devs)}", file=sys.stderr)
+                return 1
+            mesh = jax.sharding.Mesh(
+                np.asarray(devs[:args.seq_shards]), ("seq",))
+            results = seqpfp.find_matches_seq_sharded(
+                rb, opts, mesh, pfp_w=args.pfp_w, pfp_mod=args.hash_mod)
+        else:
+            # -A rides the same scan: the index rows are checkpointed out
+            # of the run that also emits the matches (no separate index
+            # construction — the reference's stream-out,
+            # pfp_lcp_mum.hpp:323-378)
+            results = engine.find_matches(
+                rb, opts, pfp_w=args.pfp_w, pfp_mod=args.hash_mod,
+                arrays_out_prefix=(args.output_prefix if args.arrays_out
+                                   else None))
     except Exception as e:
         if not _is_device_oom(e):
             raise

@@ -73,3 +73,19 @@ def test_seqpfp_capacity_overflow(rng):
     opts = options.normalize(rb.num_docs, quiet=True)
     with pytest.raises(WindowCapacityError):
         seqpfp.find_matches_seq_sharded(rb, opts, _mesh(2), M=4)
+
+
+def test_cli_seq_shards(rng, tmp_path):
+    """--seq-shards N through the full CLI surface == single-device run."""
+    from mumemto_tpu import cli
+    docs = mutated_collection(rng, 3, base_len=600)
+    paths = []
+    for i, d in enumerate(docs):
+        p = tmp_path / f"c{i}.fa"
+        p.write_text(f">c{i}\n{d[0]}\n")
+        paths.append(str(p))
+    assert cli.main(paths + ["-o", str(tmp_path / "single")]) == 0
+    assert cli.main(paths + ["-o", str(tmp_path / "sharded"),
+                             "--seq-shards", "4"]) == 0
+    assert (tmp_path / "single.mums").read_bytes() == \
+        (tmp_path / "sharded.mums").read_bytes()
