@@ -685,10 +685,16 @@ def _expand_and_analyze(parse, d_starts, cumcnt,
 
 
 def _pack_da_mode(nr: int, nd: int, num_docs: int):
-    """(pack_da, da_bits): whether (ssa, da) / (suf, bwt) pack into single
-    int32 sort operands (chars < 128; group ids < 2^24)."""
+    """(pack_table, pack_ops, da_bits): packing tiers for the expansion.
+
+    pack_ops: (ssa, da) and (suf_len, bwt) pack into single int32 sort
+    operands (4-operand sort instead of 6).
+    pack_table: additionally (group id, prev char) pack into ONE gather
+    table — needs group ids < 2^24 (chars use 7 bits)."""
     da_bits = max(int(num_docs).bit_length(), 1)
-    return nd < (1 << 24) and (nr << da_bits) < (1 << 31), da_bits
+    pack_ops = (nr << da_bits) < (1 << 31)
+    pack_table = pack_ops and nd < (1 << 24)
+    return pack_table, pack_ops, da_bits
 
 
 def _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
@@ -723,8 +729,8 @@ def _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
         jnp.cumsum(jnp.zeros((nr,), jnp.int32).at[ends_idx].add(1)),
         num_docs)
 
-    pack_da, da_bits = _pack_da_mode(nr, nd, num_docs)
-    if pack_da:
+    pack_table, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs)
+    if pack_table:
         # pack (group id, previous dict char) into one int32 table: one
         # O(nr) gather instead of two, and (suf_len, bwt) / (ssa, da) into
         # single sort operands
@@ -742,6 +748,12 @@ def _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
     bwt = jnp.where(pad, 0,
                     jnp.take(d, jnp.clip(dictpos - 1, 0, nd - 1)
                              ).astype(jnp.int32))
+    if pack_ops:
+        # large-dict middle tier (nd >= 2^24): two table gathers, but
+        # still a 4-operand sort
+        sufbwt = jnp.where(pad, 0, (suf_len << 7) | bwt)
+        ssada = (ssa << da_bits) | da_by_pos
+        return key1, key2, ssada, sufbwt
     return key1, key2, ssa, suf_len, bwt, da_by_pos
 
 
@@ -750,8 +762,8 @@ def _analyze_sorted(sorted_ops, slt_table, grp_cross, nr: int, nd: int,
                     max_total_freq, max_doc_freq: int,
                     size_cap: int | None, need_ctx: bool):
     """Post-sort: per-row LCP from the PFP tables + interval analysis."""
-    pack_da, da_bits = _pack_da_mode(nr, nd, num_docs)
-    if pack_da:
+    _pack_table, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs)
+    if pack_ops:
         key1s, key2s, ssadas, sufbwts = sorted_ops
         ssas = ssadas >> da_bits
         da = ssadas & ((1 << da_bits) - 1)

@@ -145,17 +145,22 @@ def test_parse_files_reference_bytes(rng, tmp_path, w, mod):
     assert (pfp.phrase_ln == direct.phrase_ln).all()
 
 
-def test_pfp_unpacked_operand_path(rng, monkeypatch):
-    """nd >= 2^24 (or tight bit budgets) switches _expand_and_analyze to
-    the 6-operand sort; force that branch and require byte-equality (at
-    test scale it is otherwise never exercised)."""
+@pytest.mark.parametrize("tier", ["mid", "unpacked"])
+def test_pfp_operand_packing_tiers(rng, monkeypatch, tier):
+    """nd >= 2^24 switches to the middle tier (two table gathers, 4-op
+    sort); exhausted bit budgets switch to the 6-operand sort. Force each
+    branch and require byte-equality (at test scale they are otherwise
+    never exercised)."""
     docs = mutated_collection(rng, 3, base_len=500)
     rb = refbuilder.build_from_sequences(docs)
     opts = options.normalize(rb.num_docs, quiet=True)
     want = naive.oracle_output(rb, opts)
     real = ops_pfp._pack_da_mode
-    monkeypatch.setattr(ops_pfp, "_pack_da_mode",
-                        lambda nr, nd, num_docs: (False, real(nr, nd,
-                                                              num_docs)[1]))
+
+    def forced(nr, nd, num_docs):
+        bits = real(nr, nd, num_docs)[2]
+        return (False, tier == "mid", bits)
+
+    monkeypatch.setattr(ops_pfp, "_pack_da_mode", forced)
     got = engine.find_matches(rb, opts, backend="pfp").output_bytes()
     assert want == got
