@@ -116,7 +116,8 @@ def _oom_partition_fallback(args, opts, files, err):
     invariant, so the fallback is output-identical. Returns an exit code,
     or None when not eligible (caller re-raises)."""
     eligible = (opts.mum_mode and opts.num_distinct == len(files)
-                and not opts.merge and files and len(files) >= 3)
+                and not opts.merge and not opts.binary
+                and files and len(files) >= 3)
     if not eligible:
         return None
     from mumemto_tpu.parallel import mumemtom
@@ -156,6 +157,17 @@ def build_main(argv) -> int:
     if not files and not args.arrays_in and not args.parse_prefix:
         print("Error: Need to provide a file-list or files as positional args "
               "for processing.", file=sys.stderr)
+        return 1
+
+    if args.seq_shards and (args.arrays_out or args.arrays_in
+                            or args.parse_prefix or args.only_parse
+                            or args.use_gsacak):
+        # refuse rather than silently dropping either flag: the sharded
+        # scan has no array-checkpoint stream-out and the resume/replay/
+        # direct paths are single-device programs
+        print("Error: --seq-shards is not supported together with "
+              "-A/-a/-p/-P/-g; run those single-device (or per-partition "
+              "via MumemtoM).", file=sys.stderr)
         return 1
 
     if args.arrays_in:

@@ -123,12 +123,24 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
     SAME scan (-A; the reference streams them out of the PFP pass for
     free, pfp_lcp_mum.hpp:323-378 — no separate index construction).
     """
-    size_cap = interval_size_cap(opts, rb.num_docs)
     from mumemto_tpu import progress
-    from mumemto_tpu.ops.pfp import _phase_logger
     # tty/env-gated phase bar (printProgress analog); library callers
-    # disable it via show_progress=False (pfp_lcp_mum.hpp:46-52)
+    # disable it via show_progress=False (pfp_lcp_mum.hpp:46-52).
+    # try/finally: a raising scan must not leak the module-global bar
     bar = progress.activate() if show_progress else None
+    try:
+        return _find_matches_inner(
+            rb, opts, backend, pfp_w, pfp_mod, parse_prefix,
+            arrays_out_prefix)
+    finally:
+        if bar is not None:
+            progress.deactivate()
+
+
+def _find_matches_inner(rb, opts, backend, pfp_w, pfp_mod, parse_prefix,
+                        arrays_out_prefix):
+    size_cap = interval_size_cap(opts, rb.num_docs)
+    from mumemto_tpu.ops.pfp import _phase_logger
     phase = _phase_logger()
     if parse_prefix:
         from mumemto_tpu.ops import pfp as ops_pfp
@@ -215,8 +227,6 @@ def find_matches(rb, opts: MatchOptions, backend: str = "pfp",
         _merge_thresholds(results, has0[:n_cand], sa_first0[:n_cand],
                           prev_ctx[:n_cand], next_ctx[:n_cand],
                           doc_offsets, doc_lens)
-    if bar is not None:
-        progress.deactivate()
     return results
 
 

@@ -251,8 +251,9 @@ class PFPData:
     parse: np.ndarray      # phrase ids (1-based), length m
     phrase_st: np.ndarray  # ext start per unique phrase id (1-based index 0 unused)
     phrase_ln: np.ndarray  # char length per unique phrase id
-    tstart: np.ndarray     # text start of each parse occurrence
-    alpha: tuple = ()      # distinct byte values present in ext (sorted)
+    alpha: tuple           # distinct byte values present in ext (sorted);
+    #                        REQUIRED: the 8-char SA seed keys off it, and a
+    #                        wrong/empty alphabet silently mis-seeds
 
 
 def _alphabet(bytes_np: np.ndarray) -> tuple:
@@ -318,15 +319,12 @@ def build_pfp(text_np: np.ndarray, w: int = 10, mod: int = 100) -> PFPData:
     parse = np.zeros(m, np.int32)
     parse[order] = grp + 1
 
-    tstart = np.empty(m, np.int64)
-    tstart[0] = -1
-    if k:
-        tstart[1:] = (breaks - w + 1).astype(np.int64)
-
+    # (no tstart table: the expansion uses the structural identity
+    # tstart[j] == cumcnt[j] - 1, asserted in _expand_operands' docstring)
     return PFPData(w=w, n_text=n_text, m=m, num_phrases=num_phrases,
                    d_len=int(phrase_ln.sum()) + num_phrases + 1,
                    ext=ext, parse=parse, phrase_st=phrase_st,
-                   phrase_ln=phrase_ln, tstart=tstart, alpha=alpha)
+                   phrase_ln=phrase_ln, alpha=alpha)
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "ne"))
@@ -578,7 +576,7 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
         "isaP": isaP, "grp_of_pos": grp_of_pos, "d": d,
         "slt_table": slt_table, "grp_cross": grp_cross,
         "doc_ends": jnp.asarray(doc_ends.astype(np.int32)),
-        "nr": nr, "nd": nd, "mp": mp, "w": w,
+        "nr": nr, "nd": nd, "mp": mp, "w": w, "lvl_cap": lvl_cap,
         "_phase": phase,
     }
 
@@ -596,7 +594,7 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
         prep["m"], prep["total_rows"], prep["n_text"],
         prep["isaP"], prep["grp_of_pos"], prep["d"],
         prep["slt_table"], prep["grp_cross"], prep["doc_ends"],
-        prep["nr"], prep["nd"], pfp.w, num_docs,
+        prep["nr"], prep["nd"], pfp.w, num_docs, prep["lvl_cap"],
         jnp.int32(min_match_len), jnp.int32(num_distinct),
         jnp.int32(max_total_freq), max_doc_freq, size_cap, need_ctx)
     phase("expand_analyze", counts)
@@ -647,13 +645,13 @@ def _fill_per_occ(values, starts_idx, nr: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nr", "nd", "w", "num_docs",
+    static_argnames=("nr", "nd", "w", "num_docs", "lvl_cap",
                      "max_doc_freq", "size_cap", "need_ctx"))
 def _expand_and_analyze(parse, d_starts, cumcnt,
                         m, total_rows, n_text, isaP,
                         grp_of_pos, d, slt_table, grp_cross,
                         doc_ends, nr: int, nd: int,
-                        w: int, num_docs: int,
+                        w: int, num_docs: int, lvl_cap: int,
                         min_match_len, num_distinct, max_total_freq,
                         max_doc_freq: int, size_cap: int | None = None,
                         need_ctx: bool = True):
@@ -677,29 +675,30 @@ def _expand_and_analyze(parse, d_starts, cumcnt,
     """
     ops = _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text,
                            isaP, grp_of_pos, d, doc_ends, nr, nd, w,
-                           num_docs)
+                           num_docs, lvl_cap)
     sorted_ops = jax.lax.sort(ops, num_keys=2)
     return _analyze_sorted(sorted_ops, slt_table, grp_cross, nr, nd, w,
-                           num_docs, min_match_len, num_distinct,
+                           num_docs, lvl_cap, min_match_len, num_distinct,
                            max_total_freq, max_doc_freq, size_cap, need_ctx)
 
 
-def _pack_da_mode(nr: int, nd: int, num_docs: int):
+def _pack_da_mode(nr: int, nd: int, num_docs: int, suf_bits: int):
     """(pack_table, pack_ops, da_bits): packing tiers for the expansion.
 
     pack_ops: (ssa, da) and (suf_len, bwt) pack into single int32 sort
-    operands (4-operand sort instead of 6).
+    operands (4-operand sort instead of 6); requires suf_len < 2^24,
+    guaranteed via suf_bits (= lvl_cap: maxlen < 2^lvl_cap).
     pack_table: additionally (group id, prev char) pack into ONE gather
     table — needs group ids < 2^24 (chars use 7 bits)."""
     da_bits = max(int(num_docs).bit_length(), 1)
-    pack_ops = (nr << da_bits) < (1 << 31)
+    pack_ops = (nr << da_bits) < (1 << 31) and suf_bits + 7 <= 31
     pack_table = pack_ops and nd < (1 << 24)
     return pack_table, pack_ops, da_bits
 
 
 def _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
                      grp_of_pos, d, doc_ends, nr: int, nd: int, w: int,
-                     num_docs: int):
+                     num_docs: int, lvl_cap: int):
     """Build the expansion-sort operand tuple (first two are the keys).
     Everything is scans/scatters/slices except ONE O(nr) gather into the
     packed (group, prev char) table. Separated from the sort + analysis so
@@ -729,7 +728,7 @@ def _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
         jnp.cumsum(jnp.zeros((nr,), jnp.int32).at[ends_idx].add(1)),
         num_docs)
 
-    pack_table, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs)
+    pack_table, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs, lvl_cap)
     if pack_table:
         # pack (group id, previous dict char) into one int32 table: one
         # O(nr) gather instead of two, and (suf_len, bwt) / (ssa, da) into
@@ -758,11 +757,12 @@ def _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
 
 
 def _analyze_sorted(sorted_ops, slt_table, grp_cross, nr: int, nd: int,
-                    w: int, num_docs: int, min_match_len, num_distinct,
-                    max_total_freq, max_doc_freq: int,
+                    w: int, num_docs: int, lvl_cap: int, min_match_len,
+                    num_distinct, max_total_freq, max_doc_freq: int,
                     size_cap: int | None, need_ctx: bool):
     """Post-sort: per-row LCP from the PFP tables + interval analysis."""
-    _pack_table, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs)
+    _pack_table, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs,
+                                                   lvl_cap)
     if pack_ops:
         key1s, key2s, ssadas, sufbwts = sorted_ops
         ssas = ssadas >> da_bits
@@ -891,13 +891,9 @@ def pfp_from_parse_files(prefix: str, w: int = 10) -> PFPData:
     ext_pad = np.zeros(ne, np.uint8)
     ext_pad[:body.size] = body
     step = (phrase_ln[parse] - w).astype(np.int64)
-    tstart = np.empty(m, np.int64)
-    tstart[0] = -1
-    np.cumsum(step[:-1], out=tstart[1:])
-    tstart[1:] -= 1
     n_text = int(step.sum()) - 1
     return PFPData(w=w, n_text=n_text, m=m, num_phrases=num_phrases,
                    d_len=int(phrase_ln.sum()) + num_phrases + 1,
                    ext=jnp.asarray(ext_pad), parse=parse,
-                   phrase_st=phrase_st, phrase_ln=phrase_ln, tstart=tstart,
+                   phrase_st=phrase_st, phrase_ln=phrase_ln,
                    alpha=_alphabet(body))

@@ -102,9 +102,10 @@ def _haloed(arr, W: int, axis: str, nshards: int):
 
 
 def _select_local(mask, e, lcp, B: int, M: int, big: int):
-    """Local _select_ordered with GLOBAL (e, L) keys: indices of mask=True
-    rows in pop order (e asc, L desc), padded with B to M entries. `big`
-    must exceed every real e (the global row bucket)."""
+    """Local _select_ordered with GLOBAL (e, L) keys: the M <= B lowest
+    (e asc, L desc) row indices, with non-mask rows keyed past `big` so
+    they sort behind every real row (the host later slices by the real
+    count; `big` must exceed every real e — the global row bucket)."""
     p = jnp.arange(B, dtype=jnp.int32)
     key_e = jnp.where(mask, e, jnp.int32(big + 1))
     key_l = jnp.where(mask, -lcp, jnp.int32(0))
@@ -130,11 +131,9 @@ def _local_compact(res_local, nr: int, B: int, W: int, M: int,
 
     idx = _select_local(res_local["emit"], res_local["e"], res_local["L"],
                         B, M, nr)
-    ok = idx < B
-    idxc = jnp.minimum(idx, B - 1)
-    s = jnp.take(res_local["s"], idxc)
-    e = jnp.where(ok, jnp.take(res_local["e"], idxc), jnp.int32(nr))
-    L = jnp.take(res_local["L"], idxc)
+    s = jnp.take(res_local["s"], idx)
+    e = jnp.take(res_local["e"], idx)
+    L = jnp.take(res_local["L"], idx)
     colc = local_cols(s)
     out = {
         "count": res_local["emit"].sum(dtype=jnp.int32)[None],
@@ -147,15 +146,15 @@ def _local_compact(res_local, nr: int, B: int, W: int, M: int,
         pv_ext = _haloed(res_local["prev_same"], W, axis, nshards)
         out["w_prev"] = jnp.take(pv_ext, colc)
     if need_ctx:
+        # rows past the real candidate count carry garbage; the host
+        # slices every per-shard block by cand_count before use
         cidx = _select_local(res_local["cand"], res_local["e"],
                              res_local["L"], B, M, nr)
-        cok = cidx < B
-        cidxc = jnp.minimum(cidx, B - 1)
-        cs = jnp.take(res_local["s"], cidxc)
-        ce = jnp.where(cok, jnp.take(res_local["e"], cidxc), jnp.int32(nr))
+        cs = jnp.take(res_local["s"], cidx)
+        ce = jnp.take(res_local["e"], cidx)
         ccolc = local_cols(cs)
         cols = cs[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-        valid = (cols < ce[:, None]) & cok[:, None]
+        valid = cols < ce[:, None]
         wda = jnp.take(da_ext, ccolc)
         is0 = valid & (wda == 0)
         has0 = is0.any(axis=1)
@@ -165,18 +164,19 @@ def _local_compact(res_local, nr: int, B: int, W: int, M: int,
         out.update({
             "cand_count": res_local["cand"].sum(dtype=jnp.int32)[None],
             "c_e": ce,
-            "c_L": jnp.take(res_local["L"], cidxc),
-            "c_has0": has0 & cok,
+            "c_L": jnp.take(res_local["L"], cidx),
+            "c_has0": has0,
             "c_sa0": jnp.take(sa_ext, sa0_col),
-            "c_prev": jnp.take(res_local["prev_ctx"], cidxc),
-            "c_next": jnp.take(res_local["next_ctx"], cidxc),
+            "c_prev": jnp.take(res_local["prev_ctx"], cidx),
+            "c_next": jnp.take(res_local["next_ctx"], cidx),
         })
     return out
 
 
 def compile_seq_pfp_step(mesh, axis: str, nr: int, nd: int, w: int,
-                         num_docs: int, max_doc_freq: int, size_cap: int,
-                         need_ctx: bool, M: int, mem_mode: bool):
+                         num_docs: int, lvl_cap: int, max_doc_freq: int,
+                         size_cap: int, need_ctx: bool, M: int,
+                         mem_mode: bool):
     """jit the sharded expansion step (stages A-D). The dict/parse side
     tables arrive replicated; all O(nr) arrays live sharded over `axis`."""
     nshards = int(mesh.shape[axis])
@@ -197,7 +197,7 @@ def compile_seq_pfp_step(mesh, axis: str, nr: int, nd: int, w: int,
              min_match_len, num_distinct, max_total_freq):
         ops = ops_pfp._expand_operands(
             parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
-            grp_of_pos, d, doc_ends, nr, nd, w, num_docs)
+            grp_of_pos, d, doc_ends, nr, nd, w, num_docs, lvl_cap)
         ops = tuple(jax.lax.with_sharding_constraint(a, row_sh)
                     for a in ops)
         sorted_ops = jax.shard_map(
@@ -206,7 +206,7 @@ def compile_seq_pfp_step(mesh, axis: str, nr: int, nd: int, w: int,
             mesh=mesh, in_specs=(spec1,) * len(ops),
             out_specs=(spec1,) * len(ops))(*ops)
         res, counts = ops_pfp._analyze_sorted(
-            sorted_ops, slt_table, grp_cross, nr, nd, w, num_docs,
+            sorted_ops, slt_table, grp_cross, nr, nd, w, num_docs, lvl_cap,
             min_match_len, num_distinct, max_total_freq, max_doc_freq,
             size_cap=size_cap, need_ctx=need_ctx)
         local = {k: jax.lax.with_sharding_constraint(res[k], row_sh)
@@ -240,7 +240,7 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
     M = min(M, prep["nr"] // nshards)
     step = compile_seq_pfp_step(
         mesh, axis, prep["nr"], prep["nd"], pfp.w, rb.num_docs,
-        opts.max_doc_freq, size_cap, opts.merge, M,
+        prep["lvl_cap"], opts.max_doc_freq, size_cap, opts.merge, M,
         mem_mode=not opts.mum_mode)
     counts, windows = step(
         prep["parse"], prep["d_starts"], prep["cumcnt"], prep["m"],

@@ -19,16 +19,21 @@ import os
 import sys
 import time
 
-# stage -> cumulative fraction of a typical run (measured 8 Mbp split)
+# stage -> cumulative fraction of a typical run (measured 8 Mbp split;
+# names MUST match the phase() emissions in ops/pfp.pfp_scan_prepare and
+# engine.find_matches — tests/test_progress.py guards the mapping)
 _STAGES = (
-    ("build_pfp", 0.18),
-    ("dict_setup", 0.23),
-    ("dict_sa", 0.32),
-    ("dict_lcp", 0.48),
-    ("dict_groups", 0.58),
-    ("parse_side", 0.62),
-    ("expand_analyze", 0.92),
-    ("counts_sync", 0.94),
+    ("ext_upload", 0.05),
+    ("breaks", 0.09),
+    ("phrase_sort", 0.12),
+    ("build_pfp", 0.14),
+    ("dict_setup", 0.18),
+    ("dict_index", 0.66),
+    ("parse_side", 0.72),
+    ("expand_analyze", 0.93),
+    ("scan_dispatch", 0.94),
+    ("counts_sync", 0.95),
+    ("arrays_out", 0.96),
     ("compact_readback", 0.99),
     ("emit_mums", 1.0),
     ("emit_mems", 1.0),

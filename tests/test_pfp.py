@@ -157,8 +157,8 @@ def test_pfp_operand_packing_tiers(rng, monkeypatch, tier):
     want = naive.oracle_output(rb, opts)
     real = ops_pfp._pack_da_mode
 
-    def forced(nr, nd, num_docs):
-        bits = real(nr, nd, num_docs)[2]
+    def forced(nr, nd, num_docs, suf_bits):
+        bits = real(nr, nd, num_docs, suf_bits)[2]
         return (False, tier == "mid", bits)
 
     monkeypatch.setattr(ops_pfp, "_pack_da_mode", forced)
