@@ -89,3 +89,13 @@ def test_cli_seq_shards(rng, tmp_path):
                              "--seq-shards", "4"]) == 0
     assert (tmp_path / "single.mums").read_bytes() == \
         (tmp_path / "sharded.mums").read_bytes()
+
+
+def test_seqpfp_midsize_boundary_stress(rng):
+    """~160 Kb collection over 8 shards: thousands of rows per block, long
+    matches guaranteed to span shard boundaries (the SURVEY §7.3 #4 hazard
+    class), byte-equal to single-device."""
+    docs = mutated_collection(rng, 4, base_len=20000, n_mut=30)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    _compare(rb, opts, 8, M=8192)
