@@ -53,12 +53,16 @@ def scan_collection(text, doc_ends, n: int, num_docs: int,
 
 def _select_ordered(mask, e, lcp, n: int, M: int):
     """Indices of mask=True in reference pop order (e asc, L desc), padded
-    with n (invalid) to M entries, via one sort."""
-    p = jnp.arange(n, dtype=jnp.int32)
-    key_e = jnp.where(mask, e, jnp.int32(n + 1))
-    key_l = jnp.where(mask, -lcp, jnp.int32(0))
-    _, _, idx = jax.lax.sort((key_e, key_l, p), num_keys=2)
-    return idx[:M]
+    with n to M entries. Two-stage: compact the sparse mask rows with
+    nonzero (a cumsum+scatter — no O(n) sort), then pop-order the M
+    survivors with an M-sized sort."""
+    idx = jnp.nonzero(mask, size=M, fill_value=n)[0].astype(jnp.int32)
+    idxc = jnp.minimum(idx, n - 1)
+    real = idx < n
+    key_e = jnp.where(real, jnp.take(e, idxc), jnp.int32(n + 1))
+    key_l = jnp.where(real, -jnp.take(lcp, idxc), 0)
+    _, _, ordered = jax.lax.sort((key_e, key_l, idx), num_keys=2)
+    return ordered
 
 
 def _da_dtype(num_docs: int):

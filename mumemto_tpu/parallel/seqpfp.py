@@ -103,14 +103,16 @@ def _haloed(arr, W: int, axis: str, nshards: int):
 
 def _select_local(mask, e, lcp, B: int, M: int, big: int):
     """Local _select_ordered with GLOBAL (e, L) keys: the M <= B lowest
-    (e asc, L desc) row indices, with non-mask rows keyed past `big` so
-    they sort behind every real row (the host later slices by the real
-    count; `big` must exceed every real e — the global row bucket)."""
-    p = jnp.arange(B, dtype=jnp.int32)
-    key_e = jnp.where(mask, e, jnp.int32(big + 1))
-    key_l = jnp.where(mask, -lcp, jnp.int32(0))
-    _, _, idx = jax.lax.sort((key_e, key_l, p), num_keys=2)
-    return idx[:M]
+    (e asc, L desc) row indices (the host later slices by the real count;
+    `big` must exceed every real e — the global row bucket). nonzero
+    compaction + an M-sized pop-order sort, no O(B) sort."""
+    idx = jnp.nonzero(mask, size=M, fill_value=B)[0].astype(jnp.int32)
+    idxc = jnp.minimum(idx, B - 1)
+    real = idx < B
+    key_e = jnp.where(real, jnp.take(e, idxc), jnp.int32(big + 1))
+    key_l = jnp.where(real, -jnp.take(lcp, idxc), 0)
+    _, _, ordered = jax.lax.sort((key_e, key_l, idxc), num_keys=2)
+    return ordered
 
 
 def _local_compact(res_local, nr: int, B: int, W: int, M: int,
