@@ -62,7 +62,7 @@ def main():
 
     total_mbp = float(os.environ.get("MUMEMTO_BENCH_MBP", 8))
     n_docs = int(os.environ.get("MUMEMTO_BENCH_DOCS", 8))
-    reps = int(os.environ.get("MUMEMTO_BENCH_REPS", 3))
+    reps = int(os.environ.get("MUMEMTO_BENCH_REPS", 5))  # best-of; tunnel adds +-0.3s rep noise
     # PFP window/modulus: internal representation knobs — the output is
     # provably parse-independent (tested), so the bench may tune them
     pfp_w = int(os.environ.get("MUMEMTO_BENCH_W", 10))
