@@ -33,7 +33,6 @@ argument in ops/suffix.py; front placement preserves the reference's
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 
 import jax
