@@ -103,6 +103,17 @@ def read_filelist(path: str) -> list:
     return files
 
 
+def _seq_mesh(nshards: int):
+    """1D ('seq',) mesh over the first nshards devices, or None + error."""
+    import jax
+    devs = jax.devices()
+    if len(devs) < nshards:
+        print(f"Error: --seq-shards {nshards} needs that many devices, "
+              f"have {len(devs)}", file=sys.stderr)
+        return None
+    return jax.sharding.Mesh(np.asarray(devs[:nshards]), ("seq",))
+
+
 def _is_device_oom(e: Exception) -> bool:
     msg = str(e)
     return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
@@ -160,13 +171,12 @@ def build_main(argv) -> int:
         return 1
 
     if args.seq_shards and (args.arrays_out or args.arrays_in
-                            or args.parse_prefix or args.only_parse
-                            or args.use_gsacak):
+                            or args.only_parse or args.use_gsacak):
         # refuse rather than silently dropping either flag: the sharded
-        # scan has no array-checkpoint stream-out and the resume/replay/
-        # direct paths are single-device programs
+        # scan has no array-checkpoint stream-out and the replay/direct
+        # paths are single-device programs (-p resume IS supported)
         print("Error: --seq-shards is not supported together with "
-              "-A/-a/-p/-P/-g; run those single-device (or per-partition "
+              "-A/-a/-P/-g; run those single-device (or per-partition "
               "via MumemtoM).", file=sys.stderr)
         return 1
 
@@ -198,8 +208,17 @@ def build_main(argv) -> int:
             num_distinct_docs=args.num_distinct_docs, rare_freq=args.rare_freq,
             max_mem_freq=args.max_mem_freq, use_revcomp=args.use_rcomp,
             merge=args.merge, anchor_merge=args.anchor_merge, binary=args.binary)
-        results = engine.find_matches(rb, opts, pfp_w=args.pfp_w,
-                                      parse_prefix=args.parse_prefix)
+        if args.seq_shards:
+            mesh = _seq_mesh(args.seq_shards)
+            if mesh is None:
+                return 1
+            from mumemto_tpu.parallel import seqpfp
+            results = seqpfp.find_matches_seq_sharded(
+                rb, opts, mesh, pfp_w=args.pfp_w,
+                parse_prefix=args.parse_prefix)
+        else:
+            results = engine.find_matches(rb, opts, pfp_w=args.pfp_w,
+                                          parse_prefix=args.parse_prefix)
         engine.write_outputs(results, rb, args.output_prefix)
         print(f"[build_main] {results.num_matches} matches found",
               file=sys.stderr)
@@ -229,15 +248,10 @@ def build_main(argv) -> int:
         if args.seq_shards:
             # multi-chip long-context mode: the expansion row space of
             # this ONE collection sharded over the seq mesh axis
-            import jax
             from mumemto_tpu.parallel import seqpfp
-            devs = jax.devices()
-            if len(devs) < args.seq_shards:
-                print(f"Error: --seq-shards {args.seq_shards} needs that "
-                      f"many devices, have {len(devs)}", file=sys.stderr)
+            mesh = _seq_mesh(args.seq_shards)
+            if mesh is None:
                 return 1
-            mesh = jax.sharding.Mesh(
-                np.asarray(devs[:args.seq_shards]), ("seq",))
             results = seqpfp.find_matches_seq_sharded(
                 rb, opts, mesh, pfp_w=args.pfp_w, pfp_mod=args.hash_mod)
         else:

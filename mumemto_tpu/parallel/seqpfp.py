@@ -227,16 +227,21 @@ def compile_seq_pfp_step(mesh, axis: str, nr: int, nd: int, w: int,
 
 def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
                              pfp_w: int = 10, pfp_mod: int = 100,
-                             M: int = 4096):
+                             M: int = 4096, parse_prefix: str | None = None):
     """Drop-in engine.find_matches over a seq-sharded mesh (PFP backend),
-    byte-identical output to the single-device engine."""
+    byte-identical output to the single-device engine. parse_prefix
+    resumes from PREFIX.dict/.parse (-p) — the natural pairing: checkpoint
+    the parse once, scan sharded."""
     from mumemto_tpu import engine
 
     size_cap = engine.interval_size_cap(opts, rb.num_docs)
     if size_cap is None or size_cap > 4096:
         raise ValueError("seq-sharded scan requires a bounded interval "
                          "size cap (finite f/F or MUM mode)")
-    pfp = ops_pfp.build_pfp(rb.text, w=pfp_w, mod=pfp_mod)
+    if parse_prefix:
+        pfp = ops_pfp.pfp_from_parse_files(parse_prefix, w=pfp_w)
+    else:
+        pfp = ops_pfp.build_pfp(rb.text, w=pfp_w, mod=pfp_mod)
     prep = ops_pfp.pfp_scan_prepare(pfp, rb.doc_ends, rb.num_docs)
     nshards = int(mesh.shape[axis])
     M = min(M, prep["nr"] // nshards)
@@ -273,7 +278,8 @@ def _assemble_results(rb, opts, counts, windows, nshards: int, M: int):
 
     results = engine.MatchResults(opts=opts, num_docs=rb.num_docs)
     results.bwt_runs = n_runs
-    results.text_length = int(rb.text.size)
+    results.text_length = int(rb.text.size) if rb.text is not None else \
+        int(sum(rb.seq_lengths))
     doc_offsets, doc_lens = engine._doc_metadata(rb, opts)
 
     s = shard_rows("s")

@@ -99,3 +99,21 @@ def test_seqpfp_midsize_boundary_stress(rng):
     rb = refbuilder.build_from_sequences(docs)
     opts = options.normalize(rb.num_docs, quiet=True)
     _compare(rb, opts, 8, M=8192)
+
+
+def test_cli_seq_shards_parse_resume(rng, tmp_path):
+    """-P checkpoint, then -p resume SHARDED == single-device resume."""
+    from mumemto_tpu import cli
+    docs = mutated_collection(rng, 3, base_len=600)
+    paths = []
+    for i, d in enumerate(docs):
+        p = tmp_path / f"r{i}.fa"
+        p.write_text(f">r{i}\n{d[0]}\n")
+        paths.append(str(p))
+    ck = str(tmp_path / "ck")
+    assert cli.main(paths + ["-o", ck, "-P"]) == 0
+    assert cli.main(["-p", ck, "-o", str(tmp_path / "single")]) == 0
+    assert cli.main(["-p", ck, "-o", str(tmp_path / "sharded"),
+                     "--seq-shards", "4"]) == 0
+    assert (tmp_path / "single.mums").read_bytes() == \
+        (tmp_path / "sharded.mums").read_bytes()
