@@ -79,7 +79,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-w", "--window", dest="pfp_w", type=int, default=10)
     ap.add_argument("-m", "--modulus", dest="hash_mod", type=int, default=100)
     ap.add_argument("-p", "--from-parse", dest="parse_prefix", default="")
-    ap.add_argument("-K", "--keep-temp-files", action="store_true")
+    ap.add_argument("-K", "--keep-temp-files", action="store_true",
+                    help="accepted for reference-CLI compatibility; the "
+                         "PFP here is in-memory, so no temp .dict/.parse "
+                         "ever exist (use -P to write them explicitly)")
     ap.add_argument("-g", "--use-gsacak", action="store_true",
                     help="use the direct suffix-array backend (no PFP)")
     ap.add_argument("-P", "--only-parse", action="store_true")
