@@ -158,16 +158,22 @@ def _find_matches_inner(rb, opts, backend, pfp_w, pfp_mod, parse_prefix,
             jnp.int32(opts.max_total_freq), opts.max_doc_freq,
             w=pfp_w, mod=pfp_mod, size_cap=size_cap, need_ctx=opts.merge)
     else:
+        from mumemto_tpu.ops import pfp as ops_pfp
         n_real = int(rb.text.size)
         n = pad_size(n_real)
         text = np.zeros(n, dtype=np.uint8)
         text[:n_real] = rb.text
+        # same alphabet-coded seed / packed-LCP-bottom levers as the PFP
+        # dict stage (pad byte 0 is part of the device text's alphabet)
+        seed_thr, lcp_thr = ops_pfp.seed_thresholds(
+            set(ops_pfp._alphabet(rb.text)) | {0})
         res, counts = ops_pipeline.scan_collection(
             jnp.asarray(text), jnp.asarray(rb.doc_ends, dtype=jnp.int32),
             n, rb.num_docs,
             jnp.int32(opts.min_match_len), jnp.int32(opts.num_distinct),
             jnp.int32(opts.max_total_freq), opts.max_doc_freq,
-            size_cap=size_cap, need_ctx=opts.merge)
+            size_cap=size_cap, need_ctx=opts.merge,
+            alpha_thresholds=seed_thr, lcp_thresholds=lcp_thr)
     phase("scan_dispatch")
     n_emit, n_cand, n_runs = (int(x) for x in np.asarray(counts))
     phase("counts_sync")

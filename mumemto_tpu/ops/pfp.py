@@ -255,6 +255,24 @@ class PFPData:
     #                        wrong/empty alphabet silently mis-seeds
 
 
+def seed_thresholds(alpha):
+    """(seed_thr, lcp_thr) static split-point tuples for a sorted distinct
+    byte list: the 8-char 3-bit SA seed needs <= 8 values, the packed
+    7-char LCP bottom <= 16; canonical ACGT alphabets map onto ONE shared
+    compile (CANON_ALPHA)."""
+    alpha = sorted(alpha)
+    if set(alpha) <= set(CANON_ALPHA):
+        seed_thr = CANON_ALPHA[:-1]
+    elif len(alpha) <= 8:
+        seed_thr = tuple(alpha[:-1])
+    else:
+        seed_thr = None
+    lcp_thr = tuple(alpha[:-1]) if len(alpha) <= 16 else None
+    if seed_thr is not None and lcp_thr is not None:
+        lcp_thr = seed_thr  # share one compile for canonical inputs
+    return seed_thr, lcp_thr
+
+
 def _alphabet(bytes_np: np.ndarray) -> tuple:
     """Sorted distinct byte values via a presence mask (np.bincount on
     uint8 is ~100x slower in this numpy build)."""
@@ -520,15 +538,7 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
     # 3-bit seed (one shared compile for canonical ACGT inputs); <= 16
     # unlocks the packed 7-char bottom step of the LCP descent.
     alpha = sorted(set(pfp.alpha) | {TERM, SEP, DOLLAR_PFP})
-    if set(alpha) <= set(CANON_ALPHA):
-        seed_thr = CANON_ALPHA[:-1]
-    elif len(alpha) <= 8:
-        seed_thr = tuple(alpha[:-1])
-    else:
-        seed_thr = None
-    lcp_thr = tuple(alpha[:-1]) if len(alpha) <= 16 else None
-    if seed_thr is not None and lcp_thr is not None:
-        lcp_thr = seed_thr  # share one compile for canonical inputs
+    seed_thr, lcp_thr = seed_thresholds(alpha)
     # the depth-capped unrolled doubling always runs min(levels(nd),
     # lvl_cap) rounds — known on host, so NO device readback of lvlD:
     # the whole dict -> parse -> expansion chain dispatches asynchronously

@@ -23,13 +23,22 @@ from mumemto_tpu.ops import suffix as ops_suffix
 
 
 @functools.partial(jax.jit, static_argnames=("n", "num_docs", "max_doc_freq",
-                                              "size_cap", "need_ctx"))
+                                              "size_cap", "need_ctx",
+                                              "alpha_thresholds",
+                                              "lcp_thresholds"))
 def scan_collection(text, doc_ends, n: int, num_docs: int,
                     min_match_len, num_distinct, max_total_freq,
                     max_doc_freq: int, size_cap: int | None = None,
-                    need_ctx: bool = True):
-    sa, hist, num_lvl = ops_suffix._suffix_array_impl(text, n, packed_init=True)
-    lcp = ops_suffix._lcp_impl(sa, hist, num_lvl, n)
+                    need_ctx: bool = True, alpha_thresholds=None,
+                    lcp_thresholds=None):
+    """Direct (-g) backend. alpha_thresholds/lcp_thresholds: optional
+    static alphabet split points enabling the 8-char SA seed (<= 8
+    distinct bytes) and the packed 7-char LCP bottom (<= 16) — the same
+    levers the PFP dict stage uses (ops/pfp.pfp_scan_prepare)."""
+    sa, hist, num_lvl = ops_suffix._suffix_array_impl(
+        text, n, packed_init=True, alpha_thresholds=alpha_thresholds)
+    lcp = ops_suffix._lcp_impl(sa, hist, num_lvl, n, text=text,
+                               bottom_thresholds=lcp_thresholds)
     bwt = jnp.take(text, (sa + (n - 1)) % n)
     da = jnp.minimum(
         jnp.searchsorted(doc_ends, sa, side="right"), num_docs
