@@ -300,6 +300,11 @@ def main(argv=None) -> int:
         return dispatch.run(sub, rest)
     try:
         return build_main(argv)
+    except (ValueError, FileNotFoundError) as e:
+        # input validation errors print cleanly like the reference's die()
+        # (ref_builder.cpp:249-252, pfp_mum.cpp:69-72)
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
     except MemoryError:
         # out-of-memory heuristic of the reference wrapper
         # (mumemto/mumemto:19-21: SIGKILL -> OOM message)

@@ -118,3 +118,21 @@ def test_arrays_out_then_replay(fasta_dir):
 def test_mori(capsys):
     assert cli.main(["mori"]) == 0
     assert "," in capsys.readouterr().out
+
+
+def test_cli_degenerate_inputs(tmp_path, capsys):
+    """Reference-style clean failures (die(), ref_builder.cpp:249-252):
+    empty file, missing file, single doc -> error exit, no traceback;
+    zero matches -> success with an empty .mums."""
+    empty = tmp_path / "empty.fa"
+    empty.write_text("")
+    ok = tmp_path / "ok.fa"
+    ok.write_text(">a\nACGTACGTACGTACGTACGTACGT\n")
+    ok2 = tmp_path / "ok2.fa"
+    ok2.write_text(">b\nACGTACGTACGTACGTACGTACGT\n")
+    out = str(tmp_path / "o")
+    assert cli.main([str(empty), str(ok), "-o", out]) == 1
+    assert cli.main([str(tmp_path / "nope.fa"), str(ok), "-o", out]) == 1
+    assert cli.main([str(ok), "-o", out]) == 1
+    assert cli.main([str(ok), str(ok2), "-o", out, "-l", "200"]) == 0
+    assert (tmp_path / "o.mums").read_bytes() == b""
