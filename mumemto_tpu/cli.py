@@ -313,7 +313,7 @@ def main(argv=None) -> int:
               "or a machine/device with more memory.", file=sys.stderr)
         return 137
     except Exception as e:  # device OOM surfaces as XlaRuntimeError
-        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+        if _is_device_oom(e):
             print("Error: the device ran out of memory during the scan. "
                   "Partition the collection (mumemto -M per partition + "
                   "mumemto merge) or use more chips.", file=sys.stderr)

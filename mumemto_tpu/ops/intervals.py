@@ -44,6 +44,17 @@ from mumemto_tpu.ops.suffix import _num_levels
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _shifted(arr, k: int, fill):
+    """out[i] = arr[i + k] (k may be negative), `fill` past the ends — the
+    windowed stencil primitive: a slice + pad, never a gather."""
+    if k == 0:
+        return arr
+    pad = jnp.full((abs(k),), fill, arr.dtype)
+    if k > 0:
+        return jnp.concatenate([arr[k:], pad])
+    return jnp.concatenate([pad, arr[:k]])
+
+
 def _sparse_min_table(values: jax.Array, max_level: int | None = None) -> list:
     """table[l][x] = min(values[x : x + 2^l]) with end-clamping, built with
     slices only (no gathers). max_level caps the table height (enough for
@@ -109,12 +120,10 @@ def _psv_nsv_windowed(lcp: jax.Array, n: int, cap: int):
     s_found = jnp.zeros((n,), bool)
     e_found = jnp.zeros((n,), bool)
     for k in range(1, cap):
-        left = jnp.concatenate([jnp.zeros((k,), jnp.int32), lcp[:-k]])
-        hit = (~s_found) & (left < lcp)
+        hit = (~s_found) & (_shifted(lcp, -k, 0) < lcp)
         s = jnp.where(hit, p - k, s)
         s_found |= hit
-        right = jnp.concatenate([lcp[k:], jnp.full((k,), -1, jnp.int32)])
-        hit = (~e_found) & (right < lcp)
+        hit = (~e_found) & (_shifted(lcp, k, -1) < lcp)
         e = jnp.where(hit, jnp.minimum(p + k, n), e)
         e_found |= hit
     # invalidate when either side exceeded the window (cannot pass filters)
@@ -233,9 +242,8 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
         # the (e, L) sort+scatter dedup
         leftmost = jnp.ones((n,), bool)
         for k in range(1, size_cap):
-            left = jnp.concatenate([jnp.zeros((k,), jnp.int32), lcp[:-k]])
             inside = (p - k) > s
-            leftmost &= (~inside) | (left > Lv)
+            leftmost &= (~inside) | (_shifted(lcp, -k, 0) > Lv)
     else:
         leftmost = _leftmost_mask(e, lcp, n)
 
@@ -254,11 +262,8 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
         # cap-1 shifted slices replace an O(n) random gather
         lmv = jnp.full((n,), -1, jnp.int32)
         for k in range(1, size_cap):
-            sh = jnp.concatenate(
-                [last_change[k - 1:],
-                 jnp.broadcast_to(last_change[-1:], (k - 1,))]
-            ) if k > 1 else last_change
-            lmv = jnp.where(e == p + k, sh, lmv)
+            # fill never selected: e == p + k implies p + k - 1 < n
+            lmv = jnp.where(e == p + k, _shifted(last_change, k - 1, 0), lmv)
         lm = lmv > s
     else:
         lm = jnp.take(last_change, jnp.clip(e - 1, 0, n - 1)) > s
@@ -271,8 +276,7 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
         prev = jnp.full((n,), -1, jnp.int32)
         found = jnp.zeros((n,), bool)
         for k in range(1, size_cap):
-            left = jnp.concatenate([jnp.full((k,), -1, jnp.int32), da[:-k]])
-            hit = (~found) & (left == da)
+            hit = (~found) & (_shifted(da, -k, -1) == da)
             prev = jnp.where(hit, p - k, prev)
             found |= hit
         # violation: some r in (s, e) has prev[r] >= s; r is within
@@ -280,16 +284,8 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
         # replace the scatter-min + reverse-cummin + gather chain
         bad = jnp.zeros((n,), bool)
         for delta in range(-(size_cap - 2), size_cap - 1):
-            if delta == 0:
-                pr = prev
-            elif delta > 0:
-                pr = jnp.concatenate(
-                    [prev[delta:], jnp.full((delta,), -1, jnp.int32)])
-            else:
-                pr = jnp.concatenate(
-                    [jnp.full((-delta,), -1, jnp.int32), prev[:delta]])
             rpos = p + delta
-            bad |= (rpos > s) & (rpos < e) & (pr >= s)
+            bad |= (rpos > s) & (rpos < e) & (_shifted(prev, delta, -1) >= s)
         doc_freq_ok = ~bad
     elif max_doc_freq > 0:
         prev = prev_same_doc(da)
@@ -308,10 +304,8 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
         prev_ctx = jnp.zeros((n,), jnp.int32)
         next_ctx = jnp.zeros((n,), jnp.int32)
         for k in range(1, size_cap):
-            left = jnp.concatenate([jnp.zeros((k,), jnp.int32), lcp[:-k]])
-            prev_ctx = jnp.where(s == p - k, left, prev_ctx)
-            right = jnp.concatenate([lcp[k:], jnp.zeros((k,), jnp.int32)])
-            next_ctx = jnp.where(e == p + k, right, next_ctx)
+            prev_ctx = jnp.where(s == p - k, _shifted(lcp, -k, 0), prev_ctx)
+            next_ctx = jnp.where(e == p + k, _shifted(lcp, k, 0), next_ctx)
         # e == n (open) rows read lcp[n] = 0 in the gather form; the
         # select form leaves 0 — identical (clip read lcp[n-1] before,
         # but open intervals are never candidates)

@@ -586,7 +586,6 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
         "slt_table": slt_table, "grp_cross": grp_cross,
         "doc_ends": jnp.asarray(doc_ends.astype(np.int32)),
         "nr": nr, "nd": nd, "mp": mp, "w": w, "lvl_cap": lvl_cap,
-        "_phase": phase,
     }
 
 
@@ -597,7 +596,7 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     compatible with ops/pipeline compaction. Device-resident throughout:
     the only host<->device traffic is small per-phrase uploads."""
     prep = pfp_scan_prepare(pfp, doc_ends, num_docs)
-    phase = prep["_phase"]
+    phase = _phase_logger()
     res, counts = _expand_and_analyze(
         prep["parse"], prep["d_starts"], prep["cumcnt"],
         prep["m"], prep["total_rows"], prep["n_text"],

@@ -60,17 +60,21 @@ def scan_collection(text, doc_ends, n: int, num_docs: int,
     return res, counts
 
 
-def _select_ordered(mask, e, lcp, n: int, M: int):
+def _select_ordered(mask, e, lcp, n: int, M: int, big: int | None = None):
     """Indices of mask=True in reference pop order (e asc, L desc), padded
     with n to M entries. Two-stage: compact the sparse mask rows with
     nonzero (a cumsum+scatter — no O(n) sort), then pop-order the M
-    survivors with an M-sized sort."""
+    survivors with an M-sized sort. `big` must exceed every real e value
+    (defaults to n; pass the global row bucket when e holds GLOBAL row
+    ids over a local block, as the seq-sharded compaction does)."""
+    if big is None:
+        big = n
     idx = jnp.nonzero(mask, size=M, fill_value=n)[0].astype(jnp.int32)
     idxc = jnp.minimum(idx, n - 1)
     real = idx < n
-    key_e = jnp.where(real, jnp.take(e, idxc), jnp.int32(n + 1))
+    key_e = jnp.where(real, jnp.take(e, idxc), jnp.int32(big + 1))
     key_l = jnp.where(real, -jnp.take(lcp, idxc), 0)
-    _, _, ordered = jax.lax.sort((key_e, key_l, idx), num_keys=2)
+    _, _, ordered = jax.lax.sort((key_e, key_l, idxc), num_keys=2)
     return ordered
 
 

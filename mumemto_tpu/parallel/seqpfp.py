@@ -101,20 +101,6 @@ def _haloed(arr, W: int, axis: str, nshards: int):
     return jnp.concatenate([left, arr, right])
 
 
-def _select_local(mask, e, lcp, B: int, M: int, big: int):
-    """Local _select_ordered with GLOBAL (e, L) keys: the M <= B lowest
-    (e asc, L desc) row indices (the host later slices by the real count;
-    `big` must exceed every real e — the global row bucket). nonzero
-    compaction + an M-sized pop-order sort, no O(B) sort."""
-    idx = jnp.nonzero(mask, size=M, fill_value=B)[0].astype(jnp.int32)
-    idxc = jnp.minimum(idx, B - 1)
-    real = idx < B
-    key_e = jnp.where(real, jnp.take(e, idxc), jnp.int32(big + 1))
-    key_l = jnp.where(real, -jnp.take(lcp, idxc), 0)
-    _, _, ordered = jax.lax.sort((key_e, key_l, idxc), num_keys=2)
-    return ordered
-
-
 def _local_compact(res_local, nr: int, B: int, W: int, M: int,
                    num_docs: int, axis: str, nshards: int, mem_mode: bool,
                    need_ctx: bool):
@@ -131,8 +117,8 @@ def _local_compact(res_local, nr: int, B: int, W: int, M: int,
         colc = jnp.clip(cols, 0, nr - 1) - start + W
         return jnp.clip(colc, 0, B + 2 * W - 1)
 
-    idx = _select_local(res_local["emit"], res_local["e"], res_local["L"],
-                        B, M, nr)
+    idx = ops_pipeline._select_ordered(
+        res_local["emit"], res_local["e"], res_local["L"], B, M, big=nr)
     s = jnp.take(res_local["s"], idx)
     e = jnp.take(res_local["e"], idx)
     L = jnp.take(res_local["L"], idx)
@@ -150,8 +136,8 @@ def _local_compact(res_local, nr: int, B: int, W: int, M: int,
     if need_ctx:
         # rows past the real candidate count carry garbage; the host
         # slices every per-shard block by cand_count before use
-        cidx = _select_local(res_local["cand"], res_local["e"],
-                             res_local["L"], B, M, nr)
+        cidx = ops_pipeline._select_ordered(
+            res_local["cand"], res_local["e"], res_local["L"], B, M, big=nr)
         cs = jnp.take(res_local["s"], cidx)
         ce = jnp.take(res_local["e"], cidx)
         ccolc = local_cols(cs)
@@ -270,11 +256,14 @@ def _assemble_results(rb, opts, counts, windows, nshards: int, M: int):
     per_shard = win["count"]
     _check_capacity(per_shard, M, "seq-sharded scan")
 
-    def shard_rows(key):
+    def rows(key, counts):
         """Concatenate the real (count-limited) rows of every shard."""
         a = win[key].reshape((nshards, M) + win[key].shape[1:])
         return np.concatenate(
-            [a[i, :int(per_shard[i])] for i in range(nshards)])
+            [a[i, :int(counts[i])] for i in range(nshards)])
+
+    def shard_rows(key):
+        return rows(key, per_shard)
 
     results = engine.MatchResults(opts=opts, num_docs=rb.num_docs)
     results.bwt_runs = n_runs
@@ -309,9 +298,7 @@ def _assemble_results(rb, opts, counts, windows, nshards: int, M: int):
         _check_capacity(cand_per, M, "seq-sharded cand windows")
 
         def cand_rows(key):
-            a = win[key].reshape((nshards, M) + win[key].shape[1:])
-            return np.concatenate(
-                [a[i, :int(cand_per[i])] for i in range(nshards)])
+            return rows(key, cand_per)
 
         ce, cL = cand_rows("c_e"), cand_rows("c_L")
         corder = np.lexsort((-cL, ce))
