@@ -392,21 +392,25 @@ def _dict_starts(phrase_ln: np.ndarray) -> np.ndarray:
     return starts.astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("nd", "w", "lvl_cap",
+@functools.partial(jax.jit, static_argnames=("nd", "ne", "w", "lvl_cap",
                                              "lvl_static", "seed_thr",
                                              "lcp_thr"))
-def _dict_index(d, pos_meta, nd: int, w: int, lvl_cap: int, lvl_static: int,
+def _dict_index(ext, phrase_st, phrase_ln, d_starts, npz, total,
+                nd: int, ne: int, w: int, lvl_cap: int, lvl_static: int,
                 seed_thr, lcp_thr):
-    """Fused dictionary index: depth-capped SA doubling + LCP descent +
-    ISA + suffix grouping in ONE program (one launch; the doubling
-    history never round-trips through HBM between programs)."""
+    """Fused dictionary index: D materialization (_dict_setup) +
+    depth-capped SA doubling + LCP descent + ISA + suffix grouping in ONE
+    program (one tunnel dispatch; the dict string and doubling history
+    never round-trip through HBM between programs)."""
+    d, pos_meta = _dict_setup(ext, phrase_st, phrase_ln, d_starts, npz,
+                              total, nd, ne)
     saD, histD, lvlD = ops_suffix._suffix_array_impl(
         d, nd, packed_init=True, max_lvl=lvl_cap, alpha_thresholds=seed_thr)
     lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd, levels=lvl_static,
                                 text=d, bottom_thresholds=lcp_thr)
     isaD = _isa_dev(saD, nd)
     grp_of_pos, grp_cross = _dict_groups(d, saD, lcpD, pos_meta, nd, w)
-    return lcpD, isaD, grp_of_pos, grp_cross
+    return d, lcpD, isaD, grp_of_pos, grp_cross
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "w"))
@@ -515,11 +519,6 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
         _pad_phrase_arrays(pfp)
     d_starts_dev = jnp.asarray(d_starts_pad)
     phrase_ln_dev = jnp.asarray(phrase_ln)
-    d, pos_meta = _dict_setup(
-        pfp.ext, jnp.asarray(phrase_st), phrase_ln_dev, d_starts_dev,
-        jnp.int32(npz), jnp.int32(total_real),
-        nd, pfp.ext.shape[0])
-    phase("dict_setup", d)
     # Depth cap for the dictionary SA/LCP: the pipeline consumes dict-suffix
     # ORDER only up to maxlen+1 chars (suffix pairs sharing longer prefixes
     # are same-string same-length = same group, whose relative order is
@@ -544,8 +543,10 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
     # the whole dict -> parse -> expansion chain dispatches asynchronously
     lvl_run = min(ops_suffix._num_levels(nd), lvl_cap) + 1
     lvl_static = min((lvl_run + 1) // 2 * 2, lvl_run, lvl_cap)
-    lcpD, isaD, grp_of_pos, grp_cross = _dict_index(
-        d, pos_meta, nd, w, lvl_cap, lvl_static, seed_thr, lcp_thr)
+    d, lcpD, isaD, grp_of_pos, grp_cross = _dict_index(
+        pfp.ext, jnp.asarray(phrase_st), phrase_ln_dev, d_starts_dev,
+        jnp.int32(npz), jnp.int32(total_real), nd, int(pfp.ext.shape[0]),
+        w, lvl_cap, lvl_static, seed_thr, lcp_thr)
     phase("dict_index", grp_of_pos, grp_cross)
 
     # --- parse SA over P' = parse + [0], s_lcp_T, and its RMQ table as
