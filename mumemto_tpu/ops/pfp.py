@@ -504,21 +504,12 @@ def _phase_logger():
     return log
 
 
-def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
-    """Dict/parse-side preparation shared by the single-device scan and the
-    seq-sharded scan (parallel/seqpfp.py): dictionary SA/LCP/groups, parse
-    SA/ISA, s_lcp_T RMQ table, and the expansion row layout. Everything
-    returned is metadata-scale (O(|D| + |P|)), small relative to the O(n)
-    row space — it stays replicated under sharding."""
-    phase = _phase_logger()
+def _host_prep(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
+    """All host-side preparation for a scan: bucket-padded phrase arrays,
+    parse arrays, expansion row layout, statics. No device dispatch."""
     w = pfp.w
-    # --- dictionary string + SA/LCP; bucket-padded phrase arrays keep every
-    # program shape-stable across inputs (compiles through the tunneled
-    # device cost minutes)
     phrase_st, phrase_ln, d_starts_pad, npz, total_real, nd = \
         _pad_phrase_arrays(pfp)
-    d_starts_dev = jnp.asarray(d_starts_pad)
-    phrase_ln_dev = jnp.asarray(phrase_ln)
     # Depth cap for the dictionary SA/LCP: the pipeline consumes dict-suffix
     # ORDER only up to maxlen+1 chars (suffix pairs sharing longer prefixes
     # are same-string same-length = same group, whose relative order is
@@ -543,31 +534,18 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
     # the whole dict -> parse -> expansion chain dispatches asynchronously
     lvl_run = min(ops_suffix._num_levels(nd), lvl_cap) + 1
     lvl_static = min((lvl_run + 1) // 2 * 2, lvl_run, lvl_cap)
-    d, lcpD, isaD, grp_of_pos, grp_cross = _dict_index(
-        pfp.ext, jnp.asarray(phrase_st), phrase_ln_dev, d_starts_dev,
-        jnp.int32(npz), jnp.int32(total_real), nd, int(pfp.ext.shape[0]),
-        w, lvl_cap, lvl_static, seed_thr, lcp_thr)
-    phase("dict_index", grp_of_pos, grp_cross)
 
-    # --- parse SA over P' = parse + [0], s_lcp_T, and its RMQ table as
-    # ONE fused program (several small mp-sized stages; separate launches
-    # would each pay the tunnel dispatch latency)
     m = pfp.m
     mp = bucket(m + 1, lo=64)
     pprime = np.zeros(mp, np.int32)
     pprime[:m] = pfp.parse
-    pprime_dev = jnp.asarray(pprime)
     charlen = np.zeros(mp + 1, np.int64)
     charlen[:m] = pfp.phrase_ln[pfp.parse] - w
     cumC = np.concatenate([[0], np.cumsum(charlen)]).astype(np.int64)
     # mask note: SLT rows beyond the real m+1 suffixes (pad positions of
     # P', zeros) sort to the very front with the terminator; their
     # adjacency lcps are 0 anyway since charlen/cumC are 0 there.
-    isaP, slt_table = _parse_side(pprime_dev, jnp.asarray(cumC),
-                                  d_starts_dev, lcpD, isaD, mp, nd)
-    phase("parse_side", slt_table[0])
 
-    # --- expand rows
     cnt = (pfp.phrase_ln[pfp.parse] - w).astype(np.int64)
     n_rows = int(cnt.sum())
     nr = bucket(n_rows)
@@ -580,14 +558,68 @@ def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
     cumcnt[1:m + 1] = np.cumsum(cnt)
     cumcnt[m + 1:] = n_rows
     return {
-        "parse": pprime_dev, "d_starts": d_starts_dev,
+        "phrase_st": jnp.asarray(phrase_st),
+        "phrase_ln": jnp.asarray(phrase_ln),
+        "d_starts": jnp.asarray(d_starts_pad),
+        "npz": jnp.int32(npz), "total_real": jnp.int32(total_real),
+        "parse": jnp.asarray(pprime), "cumC": jnp.asarray(cumC),
         "cumcnt": jnp.asarray(cumcnt), "m": jnp.int32(m),
         "total_rows": jnp.int32(n_rows), "n_text": jnp.int32(pfp.n_text),
-        "isaP": isaP, "grp_of_pos": grp_of_pos, "d": d,
-        "slt_table": slt_table, "grp_cross": grp_cross,
         "doc_ends": jnp.asarray(doc_ends.astype(np.int32)),
-        "nr": nr, "nd": nd, "mp": mp, "w": w, "lvl_cap": lvl_cap,
+        "ne": int(pfp.ext.shape[0]),
+        "nd": nd, "nr": nr, "mp": mp, "w": w, "lvl_cap": lvl_cap,
+        "lvl_static": lvl_static, "seed_thr": seed_thr, "lcp_thr": lcp_thr,
     }
+
+
+def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
+    """Dict/parse-side preparation shared by the seq-sharded scan
+    (parallel/seqpfp.py) and the PROFILE-split single-device path:
+    dictionary SA/LCP/groups, parse SA/ISA, s_lcp_T RMQ table, and the
+    expansion row layout. Everything returned is metadata-scale
+    (O(|D| + |P|)), small relative to the O(n) row space — it stays
+    replicated under sharding."""
+    phase = _phase_logger()
+    h = _host_prep(pfp, doc_ends, num_docs)
+    d, lcpD, isaD, grp_of_pos, grp_cross = _dict_index(
+        pfp.ext, h["phrase_st"], h["phrase_ln"], h["d_starts"],
+        h["npz"], h["total_real"], h["nd"], h["ne"],
+        h["w"], h["lvl_cap"], h["lvl_static"], h["seed_thr"], h["lcp_thr"])
+    phase("dict_index", grp_of_pos, grp_cross)
+    isaP, slt_table = _parse_side(h["parse"], h["cumC"], h["d_starts"],
+                                  lcpD, isaD, h["mp"], h["nd"])
+    phase("parse_side", slt_table[0])
+    h.update({"isaP": isaP, "grp_of_pos": grp_of_pos, "d": d,
+              "slt_table": slt_table, "grp_cross": grp_cross})
+    return h
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nd", "ne", "nr", "mp", "w", "num_docs", "lvl_cap",
+                     "lvl_static", "seed_thr", "lcp_thr", "max_doc_freq",
+                     "size_cap", "need_ctx"))
+def _full_scan(ext, phrase_st, phrase_ln, d_starts, npz, total_real,
+               pprime, cumC, cumcnt, m, total_rows, n_text, doc_ends,
+               min_match_len, num_distinct, max_total_freq,
+               nd: int, ne: int, nr: int, mp: int, w: int, num_docs: int,
+               lvl_cap: int, lvl_static: int, seed_thr, lcp_thr,
+               max_doc_freq: int, size_cap: int | None, need_ctx: bool):
+    """The ENTIRE device scan as ONE program — dict index + parse side +
+    expansion/analysis. Every stage boundary in the split path costs a
+    tunnel dispatch round-trip (the dominant run-to-run jitter source);
+    production runs use this fused program, MUMEMTO_TPU_PROFILE=1 uses
+    the split path for per-stage timings."""
+    d, lcpD, isaD, grp_of_pos, grp_cross = _dict_index(
+        ext, phrase_st, phrase_ln, d_starts, npz, total_real, nd, ne,
+        w, lvl_cap, lvl_static, seed_thr, lcp_thr)
+    isaP, slt_table = _parse_side(pprime, cumC, d_starts, lcpD, isaD,
+                                  mp, nd)
+    return _expand_and_analyze(
+        pprime, d_starts, cumcnt, m, total_rows, n_text, isaP,
+        grp_of_pos, d, slt_table, grp_cross, doc_ends, nr, nd, w,
+        num_docs, lvl_cap, min_match_len, num_distinct, max_total_freq,
+        max_doc_freq, size_cap, need_ctx)
 
 
 def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
@@ -596,18 +628,36 @@ def pfp_scan(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
     """Full PFP expansion + interval scan; returns (res, counts, n_rows_pad)
     compatible with ops/pipeline compaction. Device-resident throughout:
     the only host<->device traffic is small per-phrase uploads."""
-    prep = pfp_scan_prepare(pfp, doc_ends, num_docs)
-    phase = _phase_logger()
-    res, counts = _expand_and_analyze(
-        prep["parse"], prep["d_starts"], prep["cumcnt"],
-        prep["m"], prep["total_rows"], prep["n_text"],
-        prep["isaP"], prep["grp_of_pos"], prep["d"],
-        prep["slt_table"], prep["grp_cross"], prep["doc_ends"],
-        prep["nr"], prep["nd"], pfp.w, num_docs, prep["lvl_cap"],
+    import os
+    from mumemto_tpu import progress
+    if os.environ.get("MUMEMTO_TPU_PROFILE") or progress.active() is not None:
+        # split path: one program per stage — per-stage device timings for
+        # profiling, per-stage advance for the progress bar (which syncs
+        # every stage anyway)
+        prep = pfp_scan_prepare(pfp, doc_ends, num_docs)
+        phase = _phase_logger()
+        res, counts = _expand_and_analyze(
+            prep["parse"], prep["d_starts"], prep["cumcnt"],
+            prep["m"], prep["total_rows"], prep["n_text"],
+            prep["isaP"], prep["grp_of_pos"], prep["d"],
+            prep["slt_table"], prep["grp_cross"], prep["doc_ends"],
+            prep["nr"], prep["nd"], pfp.w, num_docs, prep["lvl_cap"],
+            jnp.int32(min_match_len), jnp.int32(num_distinct),
+            jnp.int32(max_total_freq), max_doc_freq, size_cap, need_ctx)
+        phase("expand_analyze", counts)
+        return res, counts, prep["nr"]
+    h = _host_prep(pfp, doc_ends, num_docs)
+    res, counts = _full_scan(
+        pfp.ext, h["phrase_st"], h["phrase_ln"], h["d_starts"], h["npz"],
+        h["total_real"], h["parse"], h["cumC"], h["cumcnt"], h["m"],
+        h["total_rows"], h["n_text"], h["doc_ends"],
         jnp.int32(min_match_len), jnp.int32(num_distinct),
-        jnp.int32(max_total_freq), max_doc_freq, size_cap, need_ctx)
-    phase("expand_analyze", counts)
-    return res, counts, prep["nr"]
+        jnp.int32(max_total_freq),
+        nd=h["nd"], ne=h["ne"], nr=h["nr"], mp=h["mp"], w=h["w"],
+        num_docs=num_docs, lvl_cap=h["lvl_cap"], lvl_static=h["lvl_static"],
+        seed_thr=h["seed_thr"], lcp_thr=h["lcp_thr"],
+        max_doc_freq=max_doc_freq, size_cap=size_cap, need_ctx=need_ctx)
+    return res, counts, h["nr"]
 
 
 @functools.partial(jax.jit, static_argnames=("mp", "nd"))
