@@ -109,6 +109,10 @@ def read_filelist(path: str) -> list:
 def _seq_mesh(nshards: int):
     """1D ('seq',) mesh over the first nshards devices, or None + error."""
     import jax
+    if nshards <= 0 or nshards & (nshards - 1):
+        print(f"Error: --seq-shards must be a positive power of two, "
+              f"got {nshards}", file=sys.stderr)
+        return None
     devs = jax.devices()
     if len(devs) < nshards:
         print(f"Error: --seq-shards {nshards} needs that many devices, "
@@ -263,7 +267,9 @@ def build_main(argv) -> int:
             # construction — the reference's stream-out,
             # pfp_lcp_mum.hpp:323-378)
             results = engine.find_matches(
-                rb, opts, pfp_w=args.pfp_w, pfp_mod=args.hash_mod,
+                rb, opts,
+                backend="direct" if args.use_gsacak else "pfp",
+                pfp_w=args.pfp_w, pfp_mod=args.hash_mod,
                 arrays_out_prefix=(args.output_prefix if args.arrays_out
                                    else None))
     except Exception as e:
@@ -298,11 +304,13 @@ def main(argv=None) -> int:
         sub, rest = argv[0], argv[1:]
         from mumemto_tpu.analysis import dispatch
         return dispatch.run(sub, rest)
+    from mumemto_tpu import options
     try:
         return build_main(argv)
-    except (ValueError, FileNotFoundError) as e:
-        # input validation errors print cleanly like the reference's die()
-        # (ref_builder.cpp:249-252, pfp_mum.cpp:69-72)
+    except (options.InputError, FileNotFoundError) as e:
+        # ONLY user-input validation failures print cleanly like the
+        # reference's die() (ref_builder.cpp:249-252, pfp_mum.cpp:69-72);
+        # internal ValueErrors keep their tracebacks
         print(f"Error: {e}", file=sys.stderr)
         return 1
     except MemoryError:

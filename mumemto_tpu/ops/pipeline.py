@@ -125,7 +125,9 @@ def compact_fields(res, n: int, M: int):
     s = jnp.take(res["s"], idx)
     e = jnp.take(res["e"], idx)
     L = jnp.take(res["L"], idx)
-    real = jnp.take(res["emit"], idx)
+    # pad slots alias row n-1 after the nonzero rewrite, so derive
+    # validity positionally: the pop order packs real rows first
+    real = jnp.arange(M) < res["emit"].sum(dtype=jnp.int32)
     return idx, s, e, L, real
 
 
@@ -137,7 +139,7 @@ def compact_cand_thresh(res, n: int, M: int, W: int):
     idx = _select_ordered(res["cand"], res["e"], res["L"], n, M)
     s = jnp.take(res["s"], idx)
     e = jnp.take(res["e"], idx)
-    real = jnp.take(res["cand"], idx)
+    real = jnp.arange(M) < res["cand"].sum(dtype=jnp.int32)
     cols = s[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     valid = (cols < e[:, None]) & real[:, None]
     colc = jnp.clip(cols, 0, n - 1)

@@ -11,6 +11,12 @@ import sys
 from dataclasses import dataclass
 
 
+class InputError(ValueError):
+    """User-input validation failure: printed cleanly by the CLI (the
+    reference's die() analogy) instead of a traceback. Internal
+    ValueErrors deliberately do NOT subclass this."""
+
+
 def _log(msg: str) -> None:
     print(f"[build_main] {msg}", file=sys.stderr)
 
@@ -50,7 +56,7 @@ def normalize(num_docs: int,
     log = (lambda m: None) if quiet else _log
 
     if rare_freq < 0:
-        raise ValueError("Per-sequence MEM frequency must be > 0 (or 0 for no limit).")
+        raise InputError("Per-sequence MEM frequency must be > 0 (or 0 for no limit).")
     if binary and rare_freq != 1:
         log("binary output is not supported for multi-MEMs, ignoring flag")
         binary = False
@@ -75,9 +81,9 @@ def normalize(num_docs: int,
         k = num_docs
 
     if merge and k != num_docs:
-        raise ValueError("Merging not available for partial multi-MUM/MEMs")
+        raise InputError("Merging not available for partial multi-MUM/MEMs")
     if merge and rare_freq != 1:
-        raise ValueError("Merging not available for multi-MEMs")
+        raise InputError("Merging not available for multi-MEMs")
 
     F = max_mem_freq
     if F < -num_docs or F == 1:

@@ -20,14 +20,14 @@ import sys
 import time
 
 # stage -> cumulative fraction of a typical run (measured 8 Mbp split;
-# names MUST match the phase() emissions in ops/pfp.pfp_scan_prepare and
-# engine.find_matches — tests/test_progress.py guards the mapping)
+# names MUST match the phase() emissions in ops/pfp (build_pfp +
+# pfp_scan_prepare split path) and engine — tests/test_progress.py
+# guards the mapping)
 _STAGES = (
     ("ext_upload", 0.05),
     ("breaks", 0.09),
     ("phrase_sort", 0.12),
-    ("build_pfp", 0.14),
-    ("dict_setup", 0.18),
+    ("build_pfp", 0.16),
     ("dict_index", 0.66),
     ("parse_side", 0.72),
     ("expand_analyze", 0.93),

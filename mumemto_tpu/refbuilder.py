@@ -16,6 +16,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from mumemto_tpu.options import InputError
+
 from mumemto_tpu import formats
 
 # Complement table from seqtk (ref_builder.cpp:29-38); identity above 127.
@@ -44,7 +46,7 @@ def _validate_byte_range(text: np.ndarray, origin: str) -> None:
     but reject it loudly instead of corrupting the suffix array."""
     if text.size and int(text.max()) >= 127:
         bad = int(text[text >= 127][0])
-        raise ValueError(
+        raise InputError(
             f"{origin}: byte value {bad} >= 127 in sequence data; "
             "inputs must be ASCII FASTA characters")
 
@@ -135,14 +137,14 @@ def build_from_files(files, use_revcomp: bool = True) -> RefBuilder:
     """Build the collection text from FASTA paths (ref_builder.cpp:211-314)."""
     files = _dedup_preserve_order(files)
     if len(files) <= 1:
-        raise ValueError(
+        raise InputError(
             "Multiple FASTA inputs required. Perhaps split a multi-FASTA into "
             "multiple files?")
     for f in files:
         if not os.path.isfile(f):
             raise FileNotFoundError(f"The following file path is not valid: {f}")
         if not f.endswith(FASTA_EXTS):
-            raise ValueError(f"The following input-file is not a FASTA file: {f}")
+            raise InputError(f"The following input-file is not a FASTA file: {f}")
 
     from mumemto_tpu.native import get_native
     native = get_native()
@@ -158,7 +160,7 @@ def build_from_files(files, use_revcomp: bool = True) -> RefBuilder:
             doc, names, contig_lens = native.load_fasta_doc(path, use_revcomp)
             total = sum(contig_lens)
             if total == 0:
-                raise ValueError(f"Empty input file found: {path}")
+                raise InputError(f"Empty input file found: {path}")
             mf_names.append(names)
             mf_lengths.append([int(x) for x in contig_lens])
             pieces.append(np.frombuffer(doc, dtype=np.uint8))
@@ -167,7 +169,7 @@ def build_from_files(files, use_revcomp: bool = True) -> RefBuilder:
         names, seqs = read_fasta(path)
         total = sum(int(s.size) for s in seqs)
         if total == 0:
-            raise ValueError(f"Empty input file found: {path}")
+            raise InputError(f"Empty input file found: {path}")
         mf_names.append(names)
         mf_lengths.append([int(s.size) for s in seqs])
         fwd = np.concatenate(seqs) if len(seqs) > 1 else seqs[0]

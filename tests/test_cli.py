@@ -136,3 +136,38 @@ def test_cli_degenerate_inputs(tmp_path, capsys):
     assert cli.main([str(ok), "-o", out]) == 1
     assert cli.main([str(ok), str(ok2), "-o", out, "-l", "200"]) == 0
     assert (tmp_path / "o.mums").read_bytes() == b""
+
+
+def test_cli_gsacak_routes_direct_backend(rng, tmp_path, monkeypatch):
+    """-g must actually run the direct backend (it silently ran PFP once)."""
+    from mumemto_tpu.ops import pipeline as ops_pipeline
+    calls = []
+    real = ops_pipeline.scan_collection
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ops_pipeline, "scan_collection", spy)
+    docs = mutated_collection(np.random.default_rng(5), 3, base_len=300)
+    paths = []
+    for i, d in enumerate(docs):
+        p = tmp_path / f"d{i}.fa"
+        p.write_text(f">d{i}\n{d[0]}\n")
+        paths.append(str(p))
+    assert cli.main(paths + ["-o", str(tmp_path / "pfp")]) == 0
+    assert not calls, "default run must NOT use the direct backend"
+    assert cli.main(paths + ["-o", str(tmp_path / "direct"), "-g"]) == 0
+    assert calls, "-g must route to the direct backend"
+    assert (tmp_path / "pfp.mums").read_bytes() == \
+        (tmp_path / "direct.mums").read_bytes()
+
+
+def test_cli_seq_shards_validation(tmp_path):
+    ok = tmp_path / "v.fa"
+    ok.write_text(">v\nACGTACGTACGTACGTACGTACGT\n")
+    ok2 = tmp_path / "v2.fa"
+    ok2.write_text(">w\nACGTACGTACGTACGTACGTACGT\n")
+    args = [str(ok), str(ok2), "-o", str(tmp_path / "x")]
+    assert cli.main(args + ["--seq-shards", "3"]) == 1
+    assert cli.main(args + ["--seq-shards", "-1"]) == 1
