@@ -93,11 +93,29 @@ def _record_lengths(sequences):
     return [[len(s) for s in doc] for doc in sequences]
 
 
+def _run(rb, opts, seq_shards: int):
+    """Dispatch a library scan: single-device, or the seq-sharded
+    multi-chip path when seq_shards > 0 (power of two <= device count)."""
+    if seq_shards:
+        import jax
+        from mumemto_tpu.parallel import seqpfp
+        devs = jax.devices()
+        if seq_shards <= 0 or seq_shards & (seq_shards - 1) \
+                or len(devs) < seq_shards:
+            raise ValueError(
+                f"seq_shards must be a positive power of two <= "
+                f"{len(devs)} attached devices, got {seq_shards}")
+        mesh = jax.sharding.Mesh(np.asarray(devs[:seq_shards]), ("seq",))
+        return seqpfp.find_matches_seq_sharded(rb, opts, mesh)
+    return engine.find_matches(rb, opts, show_progress=False)
+
+
 def mum(sequences, min_match_len: int = 20, use_revcomp: bool = True,
-        num_distinct: int = 0) -> MumResult:
+        num_distinct: int = 0, seq_shards: int = 0) -> MumResult:
     """Find multi-MUMs across in-memory sequence collections.
 
     sequences: list of documents, each a list of str/bytes records.
+    seq_shards: shard the scan over that many devices (CLI --seq-shards).
     """
     rb = refbuilder.build_from_sequences(sequences, use_revcomp=use_revcomp)
     if num_distinct == 0:
@@ -105,7 +123,7 @@ def mum(sequences, min_match_len: int = 20, use_revcomp: bool = True,
     opts = MatchOptions(min_match_len=min_match_len, num_distinct=num_distinct,
                         max_doc_freq=1, max_total_freq=0,
                         use_revcomp=use_revcomp)
-    results = engine.find_matches(rb, opts, show_progress=False)
+    results = _run(rb, opts, seq_shards)
     return MumResult(results, _record_lengths(sequences))
 
 
@@ -147,7 +165,7 @@ def _cabi_mem(sequences, min_match_len, use_revcomp, num_distinct,
 
 def mem(sequences, min_match_len: int = 20, use_revcomp: bool = True,
         num_distinct: int = 0, max_total_freq: int = 0,
-        max_doc_freq: int = 2) -> MemResult:
+        max_doc_freq: int = 2, seq_shards: int = 0) -> MemResult:
     """Find multi-MEMs (per-doc frequency up to max_doc_freq)."""
     if max_doc_freq <= 1:
         raise ValueError(
@@ -158,5 +176,5 @@ def mem(sequences, min_match_len: int = 20, use_revcomp: bool = True,
     opts = MatchOptions(min_match_len=min_match_len, num_distinct=num_distinct,
                         max_doc_freq=max_doc_freq, max_total_freq=max_total_freq,
                         use_revcomp=use_revcomp)
-    results = engine.find_matches(rb, opts, show_progress=False)
+    results = _run(rb, opts, seq_shards)
     return MemResult(results, _record_lengths(sequences), rb.num_docs)

@@ -117,3 +117,18 @@ def test_cli_seq_shards_parse_resume(rng, tmp_path):
                      "--seq-shards", "4"]) == 0
     assert (tmp_path / "single.mums").read_bytes() == \
         (tmp_path / "sharded.mums").read_bytes()
+
+
+def test_library_seq_shards(rng):
+    """library.mum(seq_shards=N) == single-device library result."""
+    from mumemto_tpu import library
+    docs = mutated_collection(rng, 3, base_len=500)
+    single = library.mum(docs)
+    sharded = library.mum(docs, seq_shards=4)
+    assert len(single) == len(sharded)
+    for i in range(len(single)):
+        L1, o1, s1 = single.match_at(i)
+        L2, o2, s2 = sharded.match_at(i)
+        assert L1 == L2 and (o1 == o2).all() and (s1 == s2).all()
+    with pytest.raises(ValueError):
+        library.mum(docs, seq_shards=3)
