@@ -12,6 +12,17 @@ extraction with offset-sorted thresholds; it only lines up when partition
 .mums are sorted by the first-genome offset. We make that explicit: MUMs are
 sorted by first-genome offset before extraction, matching the .thresh layout
 (mem_finder.hpp:128-130 sorts thresholds that way).
+
+Known structural limitation (shared with the reference): a MUM that crosses
+a document's internal fwd$rc boundary (possible when documents share an
+exact terminal k-mer: tail + '$' + mirrored rc head match across docs)
+cannot round-trip through STRING merging — extraction reads only the first
+genome's forward FASTA (extract_mums.cpp:92-116), so the crossing portion
+is truncated and the merged set lacks that MUM. Anchor merging carries
+per-position thresholds over fwd+rev anchor coordinates and recovers such
+matches; prefer -Mn for collections with shared terminal sequence.
+tests/test_merge.py::test_string_merge_boundary_crossing_limitation pins
+this behavior.
 """
 
 from __future__ import annotations

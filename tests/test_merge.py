@@ -113,3 +113,46 @@ def test_anchor_merge_three_way(rng, tmp_path):
     assert Lm.tolist() == Lu.tolist()
     assert Sm.tolist() == Su.tolist()
     assert Tm.tolist() == Tu.tolist()
+
+
+def test_string_merge_boundary_crossing_limitation(tmp_path):
+    """Documents sharing an exact terminal k-mer produce a MUM that crosses
+    the internal fwd$rc boundary (tail + '$' + mirrored rc head). STRING
+    merging cannot round-trip it — extraction reads only the forward FASTA,
+    exactly like the reference's extract_mums (extract_mums.cpp:92-116) —
+    while ANCHOR merging recovers it. This pins the characterized behavior
+    (found by merge-cycle fuzzing, seeds 707/710)."""
+    import numpy as np
+    from mumemto_tpu import cli, formats
+    from mumemto_tpu.parallel import mumemtom
+
+    # the exact fuzz-failing collection shape: mutated copies of one base
+    # sequence with a shared un-mutated tail
+    from tests.conftest import mutated_collection
+    rng = np.random.default_rng(710 * 997 + 11)
+    n_docs = int(rng.integers(4, 8))
+    docs = mutated_collection(rng, n_docs, base_len=int(rng.integers(300, 800)))
+    paths = _write_fastas(tmp_path, [d[0] for d in docs],
+                          [f"b{i}" for i in range(n_docs)])
+    union = str(tmp_path / "union")
+    assert cli.main(paths + ["-o", union]) == 0
+    Lu, Su, Tu = formats.parse_mums(union + ".mums", n_docs)
+    doc_len = len(docs[0][0])
+    crossing = (Su[:, 0] + Lu) > doc_len
+    assert crossing.any(), "collection must exhibit a fwd$rc-crossing MUM"
+
+    def sorted_set(L, S):
+        o = np.lexsort((L, S[:, 0]))
+        return list(zip(L[o].tolist(), map(tuple, S[o].tolist())))
+
+    # anchor merge recovers EVERYTHING including the crossing MUM
+    am = mumemtom.run_partitioned_files(
+        paths, str(tmp_path / "am"), num_partitions=2, anchor=True)
+    La, Sa, _ = formats.parse_mums(am, n_docs)
+    assert sorted_set(La, Sa) == sorted_set(Lu, Su)
+
+    # string merge recovers exactly the non-crossing subset
+    sm = mumemtom.run_partitioned_files(
+        paths, str(tmp_path / "sm"), num_partitions=2, anchor=False)
+    Ls, Ss, _ = formats.parse_mums(sm, n_docs)
+    assert sorted_set(Ls, Ss) == sorted_set(Lu[~crossing], Su[~crossing])
