@@ -18,7 +18,9 @@ a document's internal fwd$rc boundary (possible when documents share an
 exact terminal k-mer: tail + '$' + mirrored rc head match across docs)
 cannot round-trip through STRING merging — extraction reads only the first
 genome's forward FASTA (extract_mums.cpp:92-116), so the crossing portion
-is truncated and the merged set lacks that MUM. Anchor merging carries
+is lost: the merged set either drops such a MUM or keeps only its
+fwd-truncated prefix (whichever the threshold test admits). Anchor
+merging carries
 per-position thresholds over fwd+rev anchor coordinates and recovers such
 matches; prefer -Mn for collections with shared terminal sequence.
 tests/test_merge.py::test_string_merge_boundary_crossing_limitation pins
