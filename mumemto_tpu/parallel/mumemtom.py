@@ -36,15 +36,24 @@ def auto_partition(files, num_partitions: int, anchor: bool = True):
     if num_partitions < 2:
         return [list(files)]
     if anchor:
+        # a partition of [anchor] alone carries no extra docs — dropping
+        # it loses nothing (the anchor is in every partition)
         rest = list(files[1:])
         parts = [[files[0]] for _ in range(num_partitions)]
         for i, f in enumerate(rest):
             parts[i % num_partitions].append(f)
         return [p for p in parts if len(p) > 1]
+    # string mode: every partition must hold >= 2 docs (a 1-doc partition
+    # has no MUMs and previously got silently DROPPED, losing its doc from
+    # the merge — found by merge-cycle fuzzing). Cap the partition count so
+    # the round-robin guarantees >= 2 docs each.
+    num_partitions = min(num_partitions, len(files) // 2)
+    if num_partitions < 2:
+        return [list(files)]
     parts = [[] for _ in range(num_partitions)]
     for i, f in enumerate(files):
         parts[i % num_partitions].append(f)
-    return [p for p in parts if len(p) >= 2]
+    return parts
 
 
 def run_partitioned(partitions, output_prefix: str, anchor: bool = True,

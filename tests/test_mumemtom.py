@@ -82,3 +82,29 @@ def test_oom_ineligible_reraises(rng, tmp_path, monkeypatch):
 
     monkeypatch.setattr(engine, "find_matches", always_oom)
     assert cli.main(paths + ["-o", str(tmp_path / "x"), "-f", "3"]) == 137
+
+
+def test_auto_partition_never_drops_docs():
+    """String-mode partitioning with more partitions than len(files)//2
+    previously round-robined files into singleton partitions and silently
+    DROPPED them (whole documents lost from the merge — fuzz find). The
+    partition count is now capped so every partition holds >= 2 docs and
+    every file appears exactly once."""
+    for n_files in (2, 3, 4, 5, 7):
+        files = [f"f{i}" for i in range(n_files)]
+        for req in (2, 3, 4, 8):
+            parts = mumemtom.auto_partition(files, req, anchor=False)
+            assert sorted(sum(parts, [])) == files, (n_files, req, parts)
+            assert all(len(p) >= 2 for p in parts), (n_files, req, parts)
+
+
+def test_run_partitioned_string_3way_4docs(rng, tmp_path):
+    """The fuzz-failing shape: 4 docs requested as 3 string partitions
+    must still merge to the union's (non-boundary-crossing) MUM set."""
+    genomes = _genomes(rng, 4)
+    paths = _write_fastas(tmp_path, genomes, [f"w{i}" for i in range(4)])
+    union = str(tmp_path / "union")
+    assert cli.main(paths + ["-o", union]) == 0
+    merged = mumemtom.run_partitioned_files(
+        paths, str(tmp_path / "m3"), num_partitions=3, anchor=False)
+    assert _sorted_set(merged, 4) == _sorted_set(union + ".mums", 4)
