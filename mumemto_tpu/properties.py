@@ -18,7 +18,7 @@ bug cannot hide (VERDICT r1 weak #2). Checks per match:
     * per-doc frequency <= f, total <= F (when bounded), distinct docs >= k
     * both-side maximality as above
 
-Used by tests/test_properties.py and bench.py (MUMEMTO_BENCH_VERIFY=1).
+Used by tests/test_matches.py and bench.py (MUMEMTO_BENCH_VERIFY=1).
 """
 
 from __future__ import annotations
