@@ -2,11 +2,16 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline note: the reference repo ships no numbers and cannot be compiled in
-this environment (no network for its thirdparty FetchContent). BASELINE.md's
-provisional single-core C++ figure for the full PFP+SA+MUM pipeline is
-~2 Mbp/s on repetitive collections; vs_baseline is computed against that
-until a real measurement exists (first act per SURVEY.md §6 once buildable).
+Baseline: the reference C++ cannot be compiled offline (its thirdparty deps
+are FetchContent'd), so vs_baseline divides by a MEASURED single-core C++
+implementation of the same pipeline run on this host at bench time:
+native/baseline_cpu (from-scratch SA-IS + Kasai + LCP-interval stack,
+compiled with the reference's own -O3 -march=native flags; oracle-verified
+in tests/test_baseline_cpu.py). Its match count must agree with the engine's
+— a live cross-validation on the real bench input. If the binary cannot be
+built/run, the fallback is the constant recorded in BASELINE.md
+(2.68 Mbp/s measured on this host, 2026-08-17). MUMEMTO_BENCH_CPU=0 skips
+the live run and uses the constant.
 
 Workload: synthetic pangenome of N_DOCS mutated copies of a base genome
 (0.1% SNP divergence, the human-haplotype regime of the reference's
@@ -27,11 +32,57 @@ import time
 
 import numpy as np
 
-BASELINE_MBP_S = 2.0
+BASELINE_MBP_S = 2.68  # fallback: measured native/baseline_cpu, this host
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def run_cpu_baseline(text, seq_lengths, opts, mbp, reps=3):
+    """Run the single-core C++ baseline on the identical input.
+
+    Returns (mbp_per_s, matches) or None if the binary is unavailable
+    (then the recorded BASELINE_MBP_S constant applies)."""
+    import subprocess
+    import tempfile
+    root = _os.path.dirname(_os.path.abspath(__file__))
+    _sys.path.insert(0, _os.path.join(root, "native"))
+    try:
+        import build_baseline
+        if not build_baseline.build(quiet=True):
+            return None
+    except Exception:
+        return None
+    if text.size + 2 > 2**31 - 1:
+        return None  # baseline binary is int32-bounded
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            tf = _os.path.join(td, "text.bin")
+            lf = _os.path.join(td, "lens.txt")
+            with open(tf, "wb") as f:
+                f.write(text.tobytes())
+            with open(lf, "w") as f:
+                f.write("".join(f"{l}\n" for l in seq_lengths))
+            out = subprocess.run(
+                [_os.path.join(root, "native", "baseline_cpu"), tf, lf,
+                 str(opts.min_match_len), str(opts.num_distinct),
+                 str(opts.max_doc_freq), str(opts.max_total_freq),
+                 str(int(opts.no_max_freq)), str(int(opts.use_revcomp)),
+                 str(reps)],
+                capture_output=True, text=True, timeout=3600)
+        if out.returncode != 0:
+            log(f"[bench] cpu baseline failed: {out.stderr[:200]}")
+            return None
+        r = json.loads(out.stdout)
+        log(f"[bench] cpu baseline (single-core C++ SA-IS+Kasai+scan): "
+            f"{r['t_total']:.2f}s = {mbp / r['t_total']:.3f} Mbp/s, "
+            f"{r['matches']} matches "
+            f"(sa {r['t_sa']:.2f} lcp {r['t_lcp']:.2f} scan {r['t_scan']:.2f})")
+        return mbp / r["t_total"], r["matches"]
+    except Exception as e:  # noqa: BLE001 — baseline is best-effort
+        log(f"[bench] cpu baseline error: {e}")
+        return None
 
 
 def synth_collection(total_mbp: float, n_docs: int, seed: int = 0,
@@ -107,6 +158,18 @@ def main():
         log(f"[bench] property verify: {checked}/{res.num_matches} MUMs OK "
             f"({time.time() - t0:.1f}s)")
 
+    baseline_mbp_s = BASELINE_MBP_S
+    if os.environ.get("MUMEMTO_BENCH_CPU", "1") != "0":
+        cpu = run_cpu_baseline(text, seq_lengths, opts, mbp)
+        if cpu is not None:
+            baseline_mbp_s, cpu_matches = cpu
+            if cpu_matches != res.num_matches:
+                log(f"[bench] WARNING: cpu-baseline match count {cpu_matches} "
+                    f"!= engine {res.num_matches}")
+            else:
+                log(f"[bench] cross-check OK: engine and cpu baseline both "
+                    f"report {cpu_matches} matches")
+
     times = []
     for r in range(reps):
         t0 = time.time()
@@ -119,7 +182,7 @@ def main():
         "metric": "pangenome multi-MUM throughput (SA+LCP+scan, 1 chip)",
         "value": round(value, 3),
         "unit": "Mbp/s",
-        "vs_baseline": round(value / BASELINE_MBP_S, 3),
+        "vs_baseline": round(value / baseline_mbp_s, 3),
     }))
 
 
