@@ -504,9 +504,17 @@ def _phase_logger():
     return log
 
 
-def _host_prep(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
+def _host_prep(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
+               row_dtype=np.int32):
     """All host-side preparation for a scan: bucket-padded phrase arrays,
-    parse arrays, expansion row layout, statics. No device dispatch."""
+    parse arrays, expansion row layout, statics. No device dispatch.
+
+    row_dtype: dtype of ROW/TEXT coordinates (cumcnt, cumC, doc_ends,
+    total_rows, n_text). np.int32 for the narrow path; np.uint32 for the
+    wide-coordinate path (parallel/widepfp.py), which lifts the row-space
+    ceiling from 2^31-1 to ~2^32 rows — past chr19 x 20 with revcomp
+    (VERDICT r2 item 1; the reference handles 2^40 via 5-byte SA entries,
+    common.hpp:59-61)."""
     w = pfp.w
     phrase_st, phrase_ln, d_starts_pad, npz, total_real, nd = \
         _pad_phrase_arrays(pfp)
@@ -541,7 +549,7 @@ def _host_prep(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
     pprime[:m] = pfp.parse
     charlen = np.zeros(mp + 1, np.int64)
     charlen[:m] = pfp.phrase_ln[pfp.parse] - w
-    cumC = np.concatenate([[0], np.cumsum(charlen)]).astype(np.int64)
+    cumC = np.concatenate([[0], np.cumsum(charlen)]).astype(row_dtype)
     # mask note: SLT rows beyond the real m+1 suffixes (pad positions of
     # P', zeros) sort to the very front with the terminator; their
     # adjacency lcps are 0 anyway since charlen/cumC are 0 there.
@@ -554,7 +562,7 @@ def _host_prep(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
         print(f"[pfp_scan] shapes: nd={nd} nr={nr} mp={mp} npz={npz} "
               f"maxlen={maxlen} lvl_cap={lvl_cap} lvl_static={lvl_static} "
               f"|alpha|={len(alpha)}", file=sys.stderr, flush=True)
-    cumcnt = np.zeros(mp + 1, np.int32)
+    cumcnt = np.zeros(mp + 1, row_dtype)
     cumcnt[1:m + 1] = np.cumsum(cnt)
     cumcnt[m + 1:] = n_rows
     return {
@@ -564,23 +572,25 @@ def _host_prep(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
         "npz": jnp.int32(npz), "total_real": jnp.int32(total_real),
         "parse": jnp.asarray(pprime), "cumC": jnp.asarray(cumC),
         "cumcnt": jnp.asarray(cumcnt), "m": jnp.int32(m),
-        "total_rows": jnp.int32(n_rows), "n_text": jnp.int32(pfp.n_text),
-        "doc_ends": jnp.asarray(doc_ends.astype(np.int32)),
+        "total_rows": jnp.asarray(n_rows, dtype=row_dtype),
+        "n_text": jnp.asarray(pfp.n_text, dtype=row_dtype),
+        "doc_ends": jnp.asarray(doc_ends.astype(row_dtype)),
         "ne": int(pfp.ext.shape[0]),
         "nd": nd, "nr": nr, "mp": mp, "w": w, "lvl_cap": lvl_cap,
         "lvl_static": lvl_static, "seed_thr": seed_thr, "lcp_thr": lcp_thr,
     }
 
 
-def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int):
+def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
+                     row_dtype=np.int32):
     """Dict/parse-side preparation shared by the seq-sharded scan
     (parallel/seqpfp.py) and the PROFILE-split single-device path:
     dictionary SA/LCP/groups, parse SA/ISA, s_lcp_T RMQ table, and the
     expansion row layout. Everything returned is metadata-scale
     (O(|D| + |P|)), small relative to the O(n) row space — it stays
-    replicated under sharding."""
+    replicated under sharding. row_dtype: see _host_prep."""
     phase = _phase_logger()
-    h = _host_prep(pfp, doc_ends, num_docs)
+    h = _host_prep(pfp, doc_ends, num_docs, row_dtype=row_dtype)
     d, lcpD, isaD, grp_of_pos, grp_cross = _dict_index(
         pfp.ext, h["phrase_st"], h["phrase_ln"], h["d_starts"],
         h["npz"], h["total_real"], h["nd"], h["ne"],
@@ -678,7 +688,11 @@ def _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
     a = jnp.concatenate([saP[:1], saP[:-1]])
     b = saP
     k = klcp
-    c = jnp.take(cumC, jnp.clip(a + k, 0, mp)) - jnp.take(cumC, jnp.clip(a, 0, mp))
+    # cumC may be uint32 in the wide-coordinate path; the DIFFERENCE is a
+    # true text-LCP component < 2^31, so the modular subtraction is exact
+    # and the int32 cast is safe
+    c = (jnp.take(cumC, jnp.clip(a + k, 0, mp))
+         - jnp.take(cumC, jnp.clip(a, 0, mp))).astype(jnp.int32)
     x = jnp.take(pprime, jnp.clip(a + k, 0, mp - 1))
     y = jnp.take(pprime, jnp.clip(b + k, 0, mp - 1))
     xr = jnp.take(isaD, jnp.take(d_starts, x))
@@ -688,7 +702,7 @@ def _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
     tab = ops_intervals._sparse_min_table(lcpD)
     pair = _rmq_query(tab, lo, hi)
     pair = jnp.where((x == 0) | (y == 0) | (x == y), 0, pair)
-    slt = (c + pair).astype(jnp.int32)
+    slt = c + pair
     return slt.at[0].set(0)
 
 

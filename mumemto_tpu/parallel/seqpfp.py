@@ -32,9 +32,10 @@ HBM budget (chr19 x 20 haplotypes, BASELINE config 5): n ~ 2.33 G rows with
 revcomp; the row-space working set is ~6 int32 arrays x n / P per chip plus
 a 2x transient during the bitonic merge (~4.5 GB/chip at P = 8 vs 16 GB/chip
 on v5e), and the replicated dict-side tables are O(|D|) ~ tens of Mrows.
-Row coordinates beyond 2^31 - 1 (just past chr19 x 20 scale) need a uint32
-coordinate upgrade; per-host partitions + MumemtoM merge
-(parallel/mumemtom.py) cover that regime today.
+Row coordinates beyond 2^31 - 1 (just past chr19 x 20 scale) route
+automatically to the uint32 wide-coordinate path (parallel/widepfp.py,
+~2^32-row ceiling); per-host partitions + MumemtoM merge
+(parallel/mumemtom.py) cover anything beyond that.
 
 Correctness: byte-equal to the single-device engine across shard counts,
 modes (strict/partial MUM, MEM), and merge metadata (tests/test_seqpfp.py);
@@ -213,11 +214,18 @@ def compile_seq_pfp_step(mesh, axis: str, nr: int, nd: int, w: int,
 
 def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
                              pfp_w: int = 10, pfp_mod: int = 100,
-                             M: int = 4096, parse_prefix: str | None = None):
+                             M: int = 4096, parse_prefix: str | None = None,
+                             wide: bool | None = None):
     """Drop-in engine.find_matches over a seq-sharded mesh (PFP backend),
     byte-identical output to the single-device engine. parse_prefix
     resumes from PREFIX.dict/.parse (-p) — the natural pairing: checkpoint
-    the parse once, scan sharded."""
+    the parse once, scan sharded.
+
+    wide: route to the uint32-coordinate path (parallel/widepfp.py) for
+    row spaces past 2^31 - 1. None = auto (row bucket >= 2^31, or the
+    MUMEMTO_WIDE_ROWS=1 env override for testing)."""
+    import os
+
     from mumemto_tpu import engine
 
     size_cap = engine.interval_size_cap(opts, rb.num_docs)
@@ -228,6 +236,15 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
         pfp = ops_pfp.pfp_from_parse_files(parse_prefix, w=pfp_w)
     else:
         pfp = ops_pfp.build_pfp(rb.text, w=pfp_w, mod=pfp_mod)
+    if wide is None:
+        n_rows = int((pfp.phrase_ln[pfp.parse].astype(np.int64)
+                      - pfp.w).sum())
+        wide = (ops_pfp.bucket(n_rows) >= 2**31
+                or os.environ.get("MUMEMTO_WIDE_ROWS") == "1")
+    if wide:
+        from mumemto_tpu.parallel import widepfp
+        return widepfp.find_matches_wide(rb, opts, mesh, axis=axis, M=M,
+                                         pfp=pfp)
     prep = ops_pfp.pfp_scan_prepare(pfp, rb.doc_ends, rb.num_docs)
     nshards = int(mesh.shape[axis])
     M = min(M, prep["nr"] // nshards)
