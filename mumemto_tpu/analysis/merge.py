@@ -397,6 +397,12 @@ def run(argv) -> int:
     ap.add_argument("mum_files", nargs="+")
     ap.add_argument("--output", "-o", default="merged")
     ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument("--collective", action="store_true",
+                    help="run the anchor-merge fold on device: one "
+                         "all_gather of per-partition anchor metadata "
+                         "over a 'part' mesh axis + vectorized on-device "
+                         "fold (needs >= #partitions devices; anchor "
+                         "mode only)")
     args = ap.parse_args(argv)
     if len(args.mum_files) < 2:
         ap.error("At least two MUMs files are required for merging")
@@ -420,8 +426,18 @@ def run(argv) -> int:
             print("Error: -m is only for string merging, but anchor-based "
                   "merging detected. Ignoring -m.", file=sys.stderr)
         merge_anchor_lengths(paths, output_base)
-        anchor_merge(args.mum_files, output, verbose=args.verbose)
+        if args.collective:
+            from mumemto_tpu.parallel import collective_merge
+            collective_merge.collective_anchor_merge(
+                args.mum_files, output, verbose=args.verbose)
+        else:
+            anchor_merge(args.mum_files, output, verbose=args.verbose)
         return 0
+
+    if args.collective:
+        print("Error: --collective applies to anchor-based merging only "
+              "(.athresh inputs).", file=sys.stderr)
+        return 1
 
     if not all(os.path.exists(p + ".thresh") for p in paths):
         print("Error: *.thresh or *.athresh files required for all inputs "

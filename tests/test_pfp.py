@@ -145,13 +145,16 @@ def test_parse_files_reference_bytes(rng, tmp_path, w, mod):
     assert (pfp.phrase_ln == direct.phrase_ln).all()
 
 
-@pytest.mark.parametrize("tier", ["mid", "unpacked"])
+@pytest.mark.parametrize("tier", ["mid", "unpacked", "u32"])
 def test_pfp_operand_packing_tiers(rng, monkeypatch, tier):
-    """nd >= 2^24 switches to the middle tier (two table gathers, 4-op
-    sort); exhausted bit budgets switch to the 6-operand sort. Force each
-    branch and require byte-equality (at test scale they are otherwise
-    never exercised)."""
-    docs = mutated_collection(rng, 3, base_len=500)
+    """nd >= 2^24 switches to the u32 packed-table tier (one u32 table
+    gather, 4-op sort), nd >= 2^25 to the middle tier (two table gathers),
+    exhausted bit budgets to the 6-operand sort. Force each branch and
+    require byte-equality (at test scale they are otherwise never
+    exercised). Distinct base_len per tier keeps the shape buckets apart
+    so the jit cache cannot serve a stale trace."""
+    base_len = {"mid": 500, "unpacked": 520, "u32": 540}[tier]
+    docs = mutated_collection(rng, 3, base_len=base_len)
     rb = refbuilder.build_from_sequences(docs)
     opts = options.normalize(rb.num_docs, quiet=True)
     want = naive.oracle_output(rb, opts)
@@ -159,7 +162,9 @@ def test_pfp_operand_packing_tiers(rng, monkeypatch, tier):
 
     def forced(nr, nd, num_docs, suf_bits):
         bits = real(nr, nd, num_docs, suf_bits)[2]
-        return (False, tier == "mid", bits)
+        if tier == "u32":
+            return ("u32", True, bits)
+        return (None, tier == "mid", bits)
 
     monkeypatch.setattr(ops_pfp, "_pack_da_mode", forced)
     got = engine.find_matches(rb, opts, backend="pfp").output_bytes()
