@@ -582,19 +582,34 @@ def _host_prep(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
 
 
 def pfp_scan_prepare(pfp: PFPData, doc_ends: np.ndarray, num_docs: int,
-                     row_dtype=np.int32):
+                     row_dtype=np.int32, dict_mesh=None):
     """Dict/parse-side preparation shared by the seq-sharded scan
     (parallel/seqpfp.py) and the PROFILE-split single-device path:
     dictionary SA/LCP/groups, parse SA/ISA, s_lcp_T RMQ table, and the
     expansion row layout. Everything returned is metadata-scale
     (O(|D| + |P|)), small relative to the O(n) row space — it stays
-    replicated under sharding. row_dtype: see _host_prep."""
+    replicated under sharding. row_dtype: see _host_prep.
+
+    dict_mesh: (mesh, axis) to run the dict index DISTRIBUTED over that
+    axis (parallel/sharddict.py) instead of replicated — outputs are
+    bit-identical (tie-order argument in that module's docstring)."""
     phase = _phase_logger()
     h = _host_prep(pfp, doc_ends, num_docs, row_dtype=row_dtype)
-    d, lcpD, isaD, grp_of_pos, grp_cross = _dict_index(
-        pfp.ext, h["phrase_st"], h["phrase_ln"], h["d_starts"],
-        h["npz"], h["total_real"], h["nd"], h["ne"],
-        h["w"], h["lvl_cap"], h["lvl_static"], h["seed_thr"], h["lcp_thr"])
+    if dict_mesh is not None:
+        from mumemto_tpu.parallel import sharddict
+        mesh, daxis = dict_mesh
+        fn = sharddict.compile_sharded_dict_index(
+            mesh, daxis, h["nd"], h["ne"], h["w"], h["lvl_cap"],
+            h["lvl_static"], h["seed_thr"], h["lcp_thr"])
+        d, lcpD, isaD, grp_of_pos, grp_cross = fn(
+            pfp.ext, h["phrase_st"], h["phrase_ln"], h["d_starts"],
+            h["npz"], h["total_real"])
+    else:
+        d, lcpD, isaD, grp_of_pos, grp_cross = _dict_index(
+            pfp.ext, h["phrase_st"], h["phrase_ln"], h["d_starts"],
+            h["npz"], h["total_real"], h["nd"], h["ne"],
+            h["w"], h["lvl_cap"], h["lvl_static"], h["seed_thr"],
+            h["lcp_thr"])
     phase("dict_index", grp_of_pos, grp_cross)
     isaP, slt_table = _parse_side(h["parse"], h["cumC"], h["d_starts"],
                                   lcpD, isaD, h["mp"], h["nd"])

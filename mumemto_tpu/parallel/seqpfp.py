@@ -63,7 +63,15 @@ def _bitonic_block_sort(ops, axis: str, nshards: int, num_keys: int):
     merge-split block bitonic network (block compare-exchange = sort the
     concatenated pair, keep one half); every block stays ascending-sorted
     internally throughout, so the 0-1-principle argument for bitonic
-    networks applies at block granularity."""
+    networks applies at block granularity.
+
+    Duplicate-key safety: both partners of a compare-exchange must sort
+    the SAME sequence, or the two kept halves are not a partition — with
+    tied keys, stable-sorting [mine, partner] on one side and
+    [partner, mine] on the other orders tied payload rows differently,
+    silently duplicating some rows and dropping others. The concatenation
+    order is therefore canonicalized (lower shard id's block first on
+    both sides), making the merged sequence bit-identical on the pair."""
     i = jax.lax.axis_index(axis)
     B = ops[0].shape[0]
     ops = jax.lax.sort(ops, num_keys=num_keys)
@@ -79,7 +87,8 @@ def _bitonic_block_sort(ops, axis: str, nshards: int, num_keys: int):
             lower_role = (i & d) == 0
             keep_lower = asc == lower_role
             merged = jax.lax.sort(
-                tuple(jnp.concatenate([a, b])
+                tuple(jnp.concatenate([jnp.where(lower_role, a, b),
+                                       jnp.where(lower_role, b, a)])
                       for a, b in zip(ops, partner)),
                 num_keys=num_keys)
             ops = tuple(jnp.where(keep_lower, mrg[:B], mrg[B:])
@@ -215,7 +224,8 @@ def compile_seq_pfp_step(mesh, axis: str, nr: int, nd: int, w: int,
 def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
                              pfp_w: int = 10, pfp_mod: int = 100,
                              M: int = 4096, parse_prefix: str | None = None,
-                             wide: bool | None = None):
+                             wide: bool | None = None,
+                             shard_dict: bool | None = None):
     """Drop-in engine.find_matches over a seq-sharded mesh (PFP backend),
     byte-identical output to the single-device engine. parse_prefix
     resumes from PREFIX.dict/.parse (-p) — the natural pairing: checkpoint
@@ -223,7 +233,11 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
 
     wide: route to the uint32-coordinate path (parallel/widepfp.py) for
     row spaces past 2^31 - 1. None = auto (row bucket >= 2^31, or the
-    MUMEMTO_WIDE_ROWS=1 env override for testing)."""
+    MUMEMTO_WIDE_ROWS=1 env override for testing).
+
+    shard_dict: distribute the dict-side index over the mesh too
+    (parallel/sharddict.py) instead of replicating it — same output.
+    None = the MUMEMTO_SHARD_DICT=1 env override."""
     import os
 
     from mumemto_tpu import engine
@@ -245,7 +259,11 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
         from mumemto_tpu.parallel import widepfp
         return widepfp.find_matches_wide(rb, opts, mesh, axis=axis, M=M,
                                          pfp=pfp)
-    prep = ops_pfp.pfp_scan_prepare(pfp, rb.doc_ends, rb.num_docs)
+    if shard_dict is None:
+        shard_dict = os.environ.get("MUMEMTO_SHARD_DICT") == "1"
+    prep = ops_pfp.pfp_scan_prepare(
+        pfp, rb.doc_ends, rb.num_docs,
+        dict_mesh=(mesh, axis) if shard_dict else None)
     nshards = int(mesh.shape[axis])
     M = min(M, prep["nr"] // nshards)
     step = compile_seq_pfp_step(
