@@ -406,9 +406,18 @@ def _dict_index(ext, phrase_st, phrase_ln, d_starts, npz, total,
                               total, nd, ne)
     saD, histD, lvlD = ops_suffix._suffix_array_impl(
         d, nd, packed_init=True, max_lvl=lvl_cap, alpha_thresholds=seed_thr)
-    lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd, levels=lvl_static,
-                                text=d, bottom_thresholds=lcp_thr)
-    isaD = _isa_dev(saD, nd)
+    if seed_thr is not None:
+        # canonical <= 8-letter alphabet: PLCP/irreducible-LCP path (~3
+        # O(nd) random passes instead of ~16 — see _lcp_plcp_impl)
+        lcpD, isaD = ops_suffix._lcp_plcp_impl(
+            saD, histD, d, nd, lvl_static, seed_thr,
+            deep_cap=max(nd // 8, 1024))
+    else:
+        lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd,
+                                    levels=lvl_static, text=d,
+                                    bottom_thresholds=lcp_thr)
+        isaD = _isa_dev(saD, nd)
+    lcpD = ops_suffix.canonicalize_pad_lcp(lcpD, saD, total, nd)
     grp_of_pos, grp_cross = _dict_groups(d, saD, lcpD, pos_meta, nd, w)
     return d, lcpD, isaD, grp_of_pos, grp_cross
 

@@ -217,6 +217,162 @@ def _lcp_impl(sa: jax.Array, hist: jax.Array, num_lvl: jax.Array, n: int,
     return h.at[0].set(0)
 
 
+def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
+                   levels: int, probe_thr: tuple, deep_cap: int):
+    """PLCP (irreducible-LCP) computation of the adjacent-row LCP array —
+    the fast path of the dictionary LCP stage (trace-time alternative to
+    _lcp_impl; must be called inside a jit).
+
+    The rank descent costs 2 random gathers per level over ALL n rows
+    (~16 passes at dict depth). This replaces it with the classic
+    irreducible-LCP decomposition, reformulated for a lock-step array
+    program:
+
+      * phi[i] = sa[isa[i]-1] (one scatter). A position i is REDUCIBLE
+        when d[i] == d[phi[i+1]-1]: prepending the shared character to the
+        SA-adjacent pair (phi[i+1], i+1) yields an SA-adjacent pair again,
+        so plcp[i] = plcp[i+1] + 1 exactly (Karkkainen-Manzini-Puglisi;
+        the no-suffix-between argument needs the shared char >= 1, which
+        holds for every consumed row — d==0 rows are the zero-pad class,
+        canonicalized by the caller).
+      * irreducible rows are BWT run heads; in the PFP dictionary they are
+        the minority AND overwhelmingly shallow (measured on the bench
+        shape: ~29% irreducible, 92% of those with plcp <= 10). One packed
+        word per position — previous char (3 bits) | 9 alphabet-coded
+        chars (27 bits) — makes a SINGLE O(n) gather at phi answer both
+        the reducibility test and an exact 9-char probe.
+      * only irreducible rows whose probe saturates (all 9 chars match,
+        ~2-3% of n) take the full rank descent, compacted into a static
+        deep_cap buffer; if the buffer would overflow (adversarial
+        inputs), lax.cond falls back to the classic full descent — same
+        values, never wrong.
+      * reducible rows are filled by the chain plcp[i] = plcp[nx] +
+        (nx - i) for the nearest irreducible nx >= i: an int64
+        flip/cummax scan, no gathers.
+
+    Net: ~3 O(n) random passes (phi scatter, packed-word gather, final
+    plcp->lcp gather) + a deep_cap-sized descent, vs ~16 O(n) passes.
+
+    Validity: alphabet <= 8 (probe_thr = the 7 static split points, same
+    as the packed SA seed). Output rows whose true LCP exceeds the capped
+    doubling depth (tie-interior rows) may differ from _lcp_impl below
+    2^levels-1 only in the zero-pad class — the caller canonicalizes
+    those; all other rows are exact (tested clamped at maxlen+1 in
+    tests/test_pfp.py). Returns (lcp, isa) — isa is a byproduct the
+    caller would otherwise recompute."""
+    L = hist.shape[0] - 1
+    top = min(levels - 1, L)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    code = jnp.zeros((n,), jnp.int32)
+    for t in probe_thr:
+        code = code + (d > jnp.uint8(t)).astype(jnp.int32)
+    q = code << 24
+    for j in range(1, 9):
+        q = q | (_shift_static(code, j, n, 0) << (3 * (8 - j)))
+    prevc = jnp.concatenate([jnp.zeros((1,), jnp.int32), code[:-1]])
+    pw = (prevc << 27) | q
+
+    isa = jnp.zeros((n,), jnp.int32).at[sa].set(idx)
+    prev_sa = jnp.concatenate([sa[:1], sa[:-1]])
+    phi = jnp.zeros((n,), jnp.int32).at[sa].set(prev_sa)
+    pwp = jnp.take(pw, phi)  # THE gather: probe chars + prev char of phi
+
+    isa_n = _shift_static(isa, 1, n, 0)
+    phi_n = _shift_static(phi, 1, n, 0)
+    pwp_n = _shift_static(pwp, 1, n, 0)
+    red = (isa_n > 0) & (phi_n >= 1) & (code == (pwp_n >> 27))
+    irr = ~red
+
+    mask9 = (1 << 27) - 1
+    qj = pw & mask9
+    qp = pwp & mask9
+    c9 = jnp.zeros((n,), jnp.int32)
+    for k in range(1, 10):
+        s = 27 - 3 * k
+        c9 = c9 + ((qj >> s) == (qp >> s)).astype(jnp.int32)
+    deep = irr & (c9 >= 9) & (isa > 0)
+    n_deep = deep.sum(dtype=jnp.int32)
+
+    def fast(_):
+        p = jnp.nonzero(deep, size=deep_cap, fill_value=n)[0] \
+            .astype(jnp.int32)
+        a = jnp.clip(p, 0, n - 1)
+        b = jnp.take(phi, a)
+        h = jnp.zeros((deep_cap,), jnp.int32)
+        for lvl in range(top, 2, -1):
+            ranks = hist[min(lvl, L)]
+            ia = a + h
+            ib = b + h
+            inb = (ia < n) & (ib < n)
+            ra = jnp.take(ranks, jnp.minimum(ia, n - 1))
+            rb = jnp.take(ranks, jnp.minimum(ib, n - 1))
+            h = jnp.where(inb & (ra == rb), h + (1 << lvl), h)
+        ia = a + h
+        ib = b + h
+        inb = (ia < n) & (ib < n)
+        wa = jnp.take(pw, jnp.minimum(ia, n - 1)) & mask9
+        wb = jnp.take(pw, jnp.minimum(ib, n - 1)) & mask9
+        nc = jnp.zeros((deep_cap,), jnp.int32)
+        for k in range(1, 8):  # residual past level 3 is < 8 chars
+            s = 27 - 3 * k
+            nc = nc + ((wa >> s) == (wb >> s)).astype(jnp.int32)
+        h = jnp.where(inb, h + nc, h)
+
+        plcp0 = c9.at[p].set(h, mode="drop")
+        plcp0 = jnp.where(isa == 0, 0, plcp0)
+        # chain fill: plcp[i] = plcp0[nx] + (nx - i) for the nearest
+        # irreducible nx >= i (reverse cummin for nx — int32-only, x64 is
+        # disabled — then one gather; nx is always valid because row n-1
+        # is irreducible by construction)
+        nx = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(irr, idx, n))))
+        plcp = jnp.take(plcp0, jnp.minimum(nx, n - 1)) + (nx - idx)
+        return jnp.take(plcp, sa).at[0].set(0)
+
+    def slow(_):
+        # classic full descent (bit-identical to _lcp_impl with the
+        # packed bottom; the 3-bit field counts equal the 4-bit ones)
+        a = prev_sa
+        b = sa
+        h = jnp.zeros((n,), jnp.int32)
+        for lvl in range(top, 2, -1):
+            ranks = hist[min(lvl, L)]
+            ia = a + h
+            ib = b + h
+            inb = (ia < n) & (ib < n)
+            ra = jnp.take(ranks, jnp.minimum(ia, n - 1))
+            rb = jnp.take(ranks, jnp.minimum(ib, n - 1))
+            h = jnp.where(inb & (ra == rb), h + (1 << lvl), h)
+        ia = a + h
+        ib = b + h
+        inb = (ia < n) & (ib < n)
+        wa = jnp.take(pw, jnp.minimum(ia, n - 1)) & mask9
+        wb = jnp.take(pw, jnp.minimum(ib, n - 1)) & mask9
+        nc = jnp.zeros((n,), jnp.int32)
+        for k in range(1, 8):
+            s = 27 - 3 * k
+            nc = nc + ((wa >> s) == (wb >> s)).astype(jnp.int32)
+        h = jnp.where(inb, h + nc, h)
+        return h.at[0].set(0)
+
+    lcp = jax.lax.cond(n_deep <= deep_cap, fast, slow, None)
+    return lcp, isa
+
+
+def canonicalize_pad_lcp(lcp: jax.Array, sa: jax.Array, total, n: int):
+    """Pin adjacent-pair LCPs of the zero-pad suffix class (both positions
+    >= total-1: the trailing zero pad plus the EndOfDict terminator) to
+    their true value n - max(pair): descent-based and PLCP-chain-based
+    implementations produce different (guard-dependent) values there, and
+    no consumer reads them un-guarded. Applying the same canonical value
+    in every implementation keeps lcpD comparable bit-for-bit."""
+    prev_sa = jnp.concatenate([sa[:1], sa[:-1]])
+    both_pad = (jnp.minimum(prev_sa, sa) >= total - 1)
+    canon = n - jnp.maximum(prev_sa, sa)
+    return jnp.where(both_pad, canon, lcp).at[0].set(0)
+
+
 def suffix_lcp_arrays(text_padded: np.ndarray | jax.Array):
     """Full index construction: (sa, lcp, bwt) as device arrays.
 

@@ -333,6 +333,13 @@ def compile_sharded_dict_index(mesh, axis: str, nd: int, ne: int, w: int,
             nc = nc + ((got[:Bd] >> s) == (got[Bd:] >> s)).astype(jnp.int32)
         h = jnp.where(inb, h + nc, h)
         lcpD = jnp.where(row0, 0, h)
+        # canonical zero-pad-class values (ops/suffix.canonicalize_pad_lcp
+        # — keeps lcpD bit-comparable with the replicated PLCP-based path)
+        prev_sa = _prev1(saD, axis, nshards, jnp.int32(0))
+        prev_sa = jnp.where(row0, saD, prev_sa)
+        both_pad = jnp.minimum(prev_sa, saD) >= total - 1
+        canon = nd - jnp.maximum(prev_sa, saD)
+        lcpD = jnp.where(row0, 0, jnp.where(both_pad, canon, lcpD))
 
         # --- ISA (permutation route: scatter global rank at position sa)
         grank = _ex_prefix(jnp.int32(Bd), axis) + idxl

@@ -1,11 +1,12 @@
 """Sharded dict index (parallel/sharddict.py) == replicated ops/pfp index.
 
 Table-level equality: d / grp_of_pos / grp_cross must be bit-identical;
-lcpD is compared clamped at maxlen+2 (tie-interior rows — suffix pairs
+lcpD is compared clamped at maxlen+1 (tie-interior rows — suffix pairs
 sharing more than 2^cap chars — may pair differently under the distributed
-bitonic sort, but every such value is >= 2^L >= maxlen+2 in BOTH
-implementations and is never consumed un-clamped; cross-tie-block lcp
-values are representative-independent, so all other rows are exact);
+bitonic sort and chain differently under the replicated PLCP path, but
+every such value is >= 2^lvl_static - 1 >= maxlen+1 in BOTH
+implementations and is never consumed un-clamped; zero-pad-class rows are
+canonicalized identically in both; all other rows are exact);
 isaD is compared at whole-phrase rows (the only positions the parse side
 reads), which are never tied. Plus end-to-end byte equality of the full
 seq-sharded scan with the dict stage distributed.
@@ -49,7 +50,7 @@ def _check_tables(ref, got, maxlen, d_starts):
     d_r, lcp_r, isa_r, gop_r, gcr_r = (np.asarray(x) for x in ref)
     d_g, lcp_g, isa_g, gop_g, gcr_g = (np.asarray(x) for x in got)
     assert (d_r == d_g).all()
-    clamp = maxlen + 2
+    clamp = maxlen + 1
     assert (np.minimum(lcp_r, clamp) == np.minimum(lcp_g, clamp)).all()
     assert (gop_r == gop_g).all()
     assert (gcr_r == gcr_g).all()
