@@ -6,7 +6,22 @@ analog of the reference's flagship chr19-pangenome workload
 (/root/reference/README.md:124-142). The PFP dictionary/parse structures are
 metadata-scale (|D| + |P| << n for repetitive collections, the whole point
 of PFP) and stay replicated; the O(n) row space — expansion operands, the
-big 2-key sort, per-row LCP, and the interval analysis — is sharded:
+big 2-key sort, per-row LCP, and the interval analysis — is sharded.
+
+TWO formulations live here and in parallel/widepfp.py; the entry point
+find_matches_seq_sharded routes between them (see its docstring):
+
+  * the BLOCK scan (widepfp.py, the default at every scale): one
+    shard_map over stages A-D with explicit per-shard carries — linear
+    total work by construction;
+  * the GSPMD formulation below (stages A/C as one logical array program
+    with sharding constraints): kept for interval size caps > 128 and
+    for the sharded-dict prep, but its cumulative fills lower through
+    the SPMD partitioner with full-window halos — quadratic total work
+    (measured; see find_matches_seq_sharded). Stage B/D (the shard_map
+    bitonic sort + compaction) are shared by both formulations.
+
+GSPMD stage map:
 
   stage A  expansion operands (ops/pfp._expand_operands): scans, scatters
            and one table gather, all sharded by GSPMD with collective
@@ -225,19 +240,35 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
                              pfp_w: int = 10, pfp_mod: int = 100,
                              M: int = 4096, parse_prefix: str | None = None,
                              wide: bool | None = None,
-                             shard_dict: bool | None = None):
+                             shard_dict: bool | None = None,
+                             force_gspmd: bool = False):
     """Drop-in engine.find_matches over a seq-sharded mesh (PFP backend),
     byte-identical output to the single-device engine. parse_prefix
     resumes from PREFIX.dict/.parse (-p) — the natural pairing: checkpoint
     the parse once, scan sharded.
 
-    wide: route to the uint32-coordinate path (parallel/widepfp.py) for
-    row spaces past 2^31 - 1. None = auto (row bucket >= 2^31, or the
-    MUMEMTO_WIDE_ROWS=1 env override for testing).
+    Routing: the DEFAULT formulation is the block-sharded shard_map scan
+    (parallel/widepfp.py — explicit per-shard carries, linear total work
+    at every scale; it also covers row spaces past 2^31). The older GSPMD
+    formulation of stages A/C (below) remains ONLY for the cases the
+    block scan does not cover — interval size caps > 128 (collections of
+    > 128 docs in strict-MUM terms) and the sharded-dict prep — because
+    GSPMD lowers the O(n) cumulative fills with full-window halos: work
+    QUADRATIC in the row count (measured: 12 s / 53 s / 545 s at
+    0.16 / 0.32 / 0.64 Mchar on the CPU mesh vs 2 / 4 / 10 s for the
+    block scan — the hazard is in the partitioner, not the backend).
+
+    wide: force the uint32-coordinate block path (None = auto: always,
+    unless force_gspmd / shard_dict / size_cap > 128; the
+    MUMEMTO_WIDE_ROWS=1 env override is kept for tests).
 
     shard_dict: distribute the dict-side index over the mesh too
     (parallel/sharddict.py) instead of replicating it — same output.
-    None = the MUMEMTO_SHARD_DICT=1 env override."""
+    None = the MUMEMTO_SHARD_DICT=1 env override. Implies the GSPMD row
+    stages (the sharded dict tables feed them in place).
+
+    force_gspmd: pin the GSPMD formulation (tests; also
+    MUMEMTO_SEQ_GSPMD=1)."""
     import os
 
     from mumemto_tpu import engine
@@ -246,21 +277,28 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
     if size_cap is None or size_cap > 4096:
         raise ValueError("seq-sharded scan requires a bounded interval "
                          "size cap (finite f/F or MUM mode)")
+    force_gspmd = force_gspmd or os.environ.get("MUMEMTO_SEQ_GSPMD") == "1"
     if parse_prefix:
         pfp = ops_pfp.pfp_from_parse_files(parse_prefix, w=pfp_w)
     else:
         pfp = ops_pfp.build_pfp(rb.text, w=pfp_w, mod=pfp_mod)
+    if shard_dict is None:
+        shard_dict = os.environ.get("MUMEMTO_SHARD_DICT") == "1"
     if wide is None:
         n_rows = int((pfp.phrase_ln[pfp.parse].astype(np.int64)
                       - pfp.w).sum())
-        wide = (ops_pfp.bucket(n_rows) >= 2**31
-                or os.environ.get("MUMEMTO_WIDE_ROWS") == "1")
+        past_31 = ops_pfp.bucket(n_rows) >= 2**31
+        wide = (past_31 or os.environ.get("MUMEMTO_WIDE_ROWS") == "1"
+                or (not force_gspmd and not shard_dict
+                    and size_cap <= 128))
+        if past_31 and (shard_dict or force_gspmd):
+            raise ValueError("row spaces past 2^31 need the block "
+                             "(wide) scan, which excludes shard_dict/"
+                             "force_gspmd")
     if wide:
         from mumemto_tpu.parallel import widepfp
         return widepfp.find_matches_wide(rb, opts, mesh, axis=axis, M=M,
                                          pfp=pfp)
-    if shard_dict is None:
-        shard_dict = os.environ.get("MUMEMTO_SHARD_DICT") == "1"
     prep = ops_pfp.pfp_scan_prepare(
         pfp, rb.doc_ends, rb.num_docs,
         dict_mesh=(mesh, axis) if shard_dict else None)

@@ -66,21 +66,33 @@ def test_dcn_two_process_equals_single(rng, tmp_path, collective):
     assert len(parts) == 2
     mumemtom.run_partitioned(parts, single_prefix, anchor=True)
 
-    port = _free_port()
     dcn_prefix = str(tmp_path / "dcn")
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("JAX_", "XLA_"))}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(pid), "2", str(port),
-             dcn_prefix, str(filelist), os.path.dirname(
-                 os.path.dirname(os.path.abspath(__file__))),
-             "1" if collective else "0"],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env)
-        for pid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+
+    def run_pair():
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(pid), "2", str(port),
+                 dcn_prefix, str(filelist), os.path.dirname(
+                     os.path.dirname(os.path.abspath(__file__))),
+                 "1" if collective else "0"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env)
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        return procs, outs
+
+    procs, outs = run_pair()
+    if any(p.returncode != 0 for p in procs) and \
+            any("DEADLINE_EXCEEDED" in o or "timed out" in o for o in outs):
+        # Gloo's connect/KV-store waits are hard-capped at ~30 s; on an
+        # oversubscribed CI host (this suite runs 4 xdist workers on as
+        # little as ONE core) a peer can miss that window. One retry on a
+        # fresh port — a genuine logic failure reproduces here.
+        procs, outs = run_pair()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
         assert "WORKER_OK" in out, out[-2000:]

@@ -101,6 +101,67 @@ def test_seqpfp_midsize_boundary_stress(rng):
     _compare(rb, opts, 8, M=8192)
 
 
+@pytest.mark.slow
+def test_seqpfp_chr_scale_boundary_stress(rng):
+    """~2 Mchar (1 Mbp fwd + revcomp) over 8 shards (VERDICT r2 item 6):
+    realistic per-shard block sizes (~260 K rows), thousands of matches
+    spanning shard boundaries, byte-equal to single-device. Runs on the
+    default block-sharded scan — the GSPMD formulation is quadratic in
+    the row count and is pinned separately at small size
+    (test_seqpfp_gspmd_formulation, test_sharddict)."""
+    n_docs, base_len = 4, 250_000
+    docs = _snp_collection(rng, n_docs, base_len)
+    rb = refbuilder.build_from_sequences(docs)
+    assert rb.text.size >= 8 * base_len
+    opts = options.normalize(rb.num_docs, quiet=True)
+    res = engine.find_matches(rb, opts, backend="pfp")
+    assert res.num_matches >= 1000, res.num_matches
+    want = res.output_bytes()
+    got = seqpfp.find_matches_seq_sharded(
+        rb, opts, _mesh(8), M=8192).output_bytes()
+    assert want == got
+
+
+def _snp_collection(rng, n_docs, base_len, rate=400):
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = rng.integers(0, 4, base_len, dtype=np.int8)
+    docs = []
+    for _ in range(n_docs):
+        s = base.copy()
+        pos = rng.integers(0, base_len, max(8, base_len // rate))
+        s[pos] = (s[pos] + rng.integers(1, 4, pos.size)) % 4
+        docs.append([bytes(acgt[s])])
+    return docs
+
+
+def test_seqpfp_gspmd_formulation(rng):
+    """The retained GSPMD formulation (size caps > 128 / sharded dict):
+    byte-equal to both the single-device engine and the default block
+    scan."""
+    docs = _snp_collection(rng, 4, 4000)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    want = engine.find_matches(rb, opts, backend="pfp").output_bytes()
+    got_g = seqpfp.find_matches_seq_sharded(
+        rb, opts, _mesh(4), force_gspmd=True).output_bytes()
+    got_b = seqpfp.find_matches_seq_sharded(rb, opts, _mesh(4)).output_bytes()
+    assert want == got_g
+    assert want == got_b
+
+
+@pytest.mark.slow
+def test_seqpfp_sharddict_midsize(rng):
+    """Sharded-dict path (GSPMD row stages + distributed dict index) at
+    the midsize scale, byte-equal to single-device."""
+    docs = _snp_collection(rng, 4, 20_000)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    want = engine.find_matches(rb, opts, backend="pfp").output_bytes()
+    got = seqpfp.find_matches_seq_sharded(
+        rb, opts, _mesh(8), M=8192, shard_dict=True).output_bytes()
+    assert want == got
+
+
 def test_cli_seq_shards_parse_resume(rng, tmp_path):
     """-P checkpoint, then -p resume SHARDED == single-device resume."""
     from mumemto_tpu import cli
