@@ -148,7 +148,13 @@ def compile_sharded_scan(mesh, n: int, num_docs: int,
 
     This is the long-context analog of the reference's partition scheme:
     instead of splitting the COLLECTION across processes, the SA-row space
-    of one collection is split across chips."""
+    of one collection is split across chips.
+
+    Demonstration-scale only (dryrun + tests): under GSPMD the cumulative
+    rank fills inside the doubling rounds lower with full-window halos —
+    work quadratic in n (the hazard measured in
+    seqpfp.find_matches_seq_sharded). Production sharded scans go through
+    the PFP block formulation (parallel/widepfp.py) instead."""
     from mumemto_tpu.ops import pipeline as ops_pipeline
 
     if num_distinct is None:
