@@ -249,11 +249,11 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
 
     Routing: the DEFAULT formulation is the block-sharded shard_map scan
     (parallel/widepfp.py — explicit per-shard carries, linear total work
-    at every scale; it also covers row spaces past 2^31). The older GSPMD
-    formulation of stages A/C (below) remains ONLY for the cases the
-    block scan does not cover — interval size caps > 128 (collections of
-    > 128 docs in strict-MUM terms) and the sharded-dict prep — because
-    GSPMD lowers the O(n) cumulative fills with full-window halos: work
+    at every scale; it also covers row spaces past 2^31, and composes
+    with the distributed dict index). The older GSPMD formulation of
+    stages A/C (below) remains ONLY for interval size caps > 128
+    (collections of > 128 docs in strict-MUM terms), because GSPMD
+    lowers the O(n) cumulative fills with full-window halos: work
     QUADRATIC in the row count (measured: 12 s / 53 s / 545 s at
     0.16 / 0.32 / 0.64 Mchar on the CPU mesh vs 2 / 4 / 10 s for the
     block scan — the hazard is in the partitioner, not the backend).
@@ -263,9 +263,9 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
     MUMEMTO_WIDE_ROWS=1 env override is kept for tests).
 
     shard_dict: distribute the dict-side index over the mesh too
-    (parallel/sharddict.py) instead of replicating it — same output.
-    None = the MUMEMTO_SHARD_DICT=1 env override. Implies the GSPMD row
-    stages (the sharded dict tables feed them in place).
+    (parallel/sharddict.py) instead of replicating it — same output
+    (its tables come back all_gathered, so it composes with both row
+    formulations). None = the MUMEMTO_SHARD_DICT=1 env override.
 
     force_gspmd: pin the GSPMD formulation (tests; also
     MUMEMTO_SEQ_GSPMD=1)."""
@@ -289,16 +289,14 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
                       - pfp.w).sum())
         past_31 = ops_pfp.bucket(n_rows) >= 2**31
         wide = (past_31 or os.environ.get("MUMEMTO_WIDE_ROWS") == "1"
-                or (not force_gspmd and not shard_dict
-                    and size_cap <= 128))
-        if past_31 and (shard_dict or force_gspmd):
+                or (not force_gspmd and size_cap <= 128))
+        if past_31 and force_gspmd:
             raise ValueError("row spaces past 2^31 need the block "
-                             "(wide) scan, which excludes shard_dict/"
-                             "force_gspmd")
+                             "(wide) scan, which excludes force_gspmd")
     if wide:
         from mumemto_tpu.parallel import widepfp
         return widepfp.find_matches_wide(rb, opts, mesh, axis=axis, M=M,
-                                         pfp=pfp)
+                                         pfp=pfp, shard_dict=shard_dict)
     prep = ops_pfp.pfp_scan_prepare(
         pfp, rb.doc_ends, rb.num_docs,
         dict_mesh=(mesh, axis) if shard_dict else None)

@@ -356,11 +356,14 @@ def compile_wide_step(mesh, axis: str, nr: int, nd: int, w: int,
 def find_matches_wide(rb, opts, mesh, axis: str = "seq",
                       pfp_w: int = 10, pfp_mod: int = 100,
                       M: int = 4096, parse_prefix: str | None = None,
-                      pfp=None):
+                      pfp=None, shard_dict: bool = False):
     """engine.find_matches over a seq-sharded mesh with uint32 row
     coordinates — byte-identical output to the single-device engine, row
     spaces up to ~2^32 (see module docstring). pfp: an already-built
-    PFPData (the seqpfp auto-router passes its own)."""
+    PFPData (the seqpfp auto-router passes its own). shard_dict: run the
+    dict-side index distributed over the same mesh
+    (parallel/sharddict.py); its outputs are all_gathered back to
+    replicated tables, which the block stages consume unchanged."""
     from mumemto_tpu import engine
 
     size_cap = engine.interval_size_cap(opts, rb.num_docs)
@@ -372,8 +375,9 @@ def find_matches_wide(rb, opts, mesh, axis: str = "seq",
             pfp = ops_pfp.pfp_from_parse_files(parse_prefix, w=pfp_w)
         else:
             pfp = ops_pfp.build_pfp(rb.text, w=pfp_w, mod=pfp_mod)
-    prep = ops_pfp.pfp_scan_prepare(pfp, rb.doc_ends, rb.num_docs,
-                                    row_dtype=np.uint32)
+    prep = ops_pfp.pfp_scan_prepare(
+        pfp, rb.doc_ends, rb.num_docs, row_dtype=np.uint32,
+        dict_mesh=(mesh, axis) if shard_dict else None)
     nshards = int(mesh.shape[axis])
     nr = prep["nr"]
     assert nr < 2**32 - 1, "wide mode covers row spaces up to 2^32"

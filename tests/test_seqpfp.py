@@ -151,8 +151,9 @@ def test_seqpfp_gspmd_formulation(rng):
 
 @pytest.mark.slow
 def test_seqpfp_sharddict_midsize(rng):
-    """Sharded-dict path (GSPMD row stages + distributed dict index) at
-    the midsize scale, byte-equal to single-device."""
+    """Distributed dict index composed with BOTH row formulations
+    (block default; GSPMD pinned) at midsize, byte-equal to
+    single-device."""
     docs = _snp_collection(rng, 4, 20_000)
     rb = refbuilder.build_from_sequences(docs)
     opts = options.normalize(rb.num_docs, quiet=True)
@@ -160,6 +161,10 @@ def test_seqpfp_sharddict_midsize(rng):
     got = seqpfp.find_matches_seq_sharded(
         rb, opts, _mesh(8), M=8192, shard_dict=True).output_bytes()
     assert want == got
+    got_g = seqpfp.find_matches_seq_sharded(
+        rb, opts, _mesh(8), M=8192, shard_dict=True,
+        force_gspmd=True).output_bytes()
+    assert want == got_g
 
 
 def test_cli_seq_shards_parse_resume(rng, tmp_path):
