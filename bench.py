@@ -153,7 +153,9 @@ def main():
         except RuntimeError as e:
             log(f"[bench] device unavailable (attempt {attempt + 1}, "
                 f"{time.time() - t0:.0f}s): {str(e)[:160]}")
-            time.sleep(120)
+            if attempt + 1 < int(os.environ.get(
+                    "MUMEMTO_BENCH_DEVICE_TRIES", 3)):
+                time.sleep(120)
     else:
         raise SystemExit("[bench] device unavailable after retries")
     t0 = time.time()

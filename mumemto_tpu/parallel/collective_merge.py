@@ -184,11 +184,15 @@ def collective_anchor_merge(mum_files, output: str, mesh=None,
     n_anchor = parts[0][4].size
     n_parts = len(parts)
     if mesh is None:
-        devs = jax.devices()
+        # local devices only: on a multi-host deployment this merge runs
+        # in ONE process (dcn.py's rank 0) — a mesh over jax.devices()
+        # would include other processes' non-addressable devices and the
+        # single-process shard_map launch over it fails
+        devs = jax.local_devices()
         if len(devs) < n_parts:
             raise ValueError(
                 f"collective merge of {n_parts} partitions needs that many "
-                f"devices, have {len(devs)}")
+                f"addressable devices, have {len(devs)}")
         mesh = jax.sharding.Mesh(
             np.asarray(devs[:n_parts]).reshape(n_parts), (axis,))
     if verbose:

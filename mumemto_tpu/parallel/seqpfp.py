@@ -259,8 +259,8 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
     block scan — the hazard is in the partitioner, not the backend).
 
     wide: force the uint32-coordinate block path (None = auto: always,
-    unless force_gspmd / shard_dict / size_cap > 128; the
-    MUMEMTO_WIDE_ROWS=1 env override is kept for tests).
+    unless force_gspmd or size_cap > 128; the MUMEMTO_WIDE_ROWS=1 env
+    override is kept for tests).
 
     shard_dict: distribute the dict-side index over the mesh too
     (parallel/sharddict.py) instead of replicating it — same output
@@ -284,15 +284,17 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
         pfp = ops_pfp.build_pfp(rb.text, w=pfp_w, mod=pfp_mod)
     if shard_dict is None:
         shard_dict = os.environ.get("MUMEMTO_SHARD_DICT") == "1"
+    n_rows = int((pfp.phrase_ln[pfp.parse].astype(np.int64)
+                  - pfp.w).sum())
+    past_31 = ops_pfp.bucket(n_rows) >= 2**31
     if wide is None:
-        n_rows = int((pfp.phrase_ln[pfp.parse].astype(np.int64)
-                      - pfp.w).sum())
-        past_31 = ops_pfp.bucket(n_rows) >= 2**31
         wide = (past_31 or os.environ.get("MUMEMTO_WIDE_ROWS") == "1"
                 or (not force_gspmd and size_cap <= 128))
-        if past_31 and force_gspmd:
-            raise ValueError("row spaces past 2^31 need the block "
-                             "(wide) scan, which excludes force_gspmd")
+    if past_31 and not wide:
+        # the GSPMD formulation's row coordinates are int32 and would
+        # wrap silently (cumcnt/cumC .astype(int32) in _host_prep)
+        raise ValueError("row spaces past 2^31 need the block (wide) "
+                         "scan; drop wide=False / force_gspmd")
     if wide:
         from mumemto_tpu.parallel import widepfp
         return widepfp.find_matches_wide(rb, opts, mesh, axis=axis, M=M,

@@ -72,7 +72,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from mumemto_tpu.ops import intervals as ops_intervals
 from mumemto_tpu.ops import pfp as ops_pfp
 from mumemto_tpu.ops import pipeline as ops_pipeline
-from mumemto_tpu.parallel.partition import _check_capacity
 from mumemto_tpu.parallel.seqpfp import _bitonic_block_sort
 
 U32 = jnp.uint32
@@ -318,6 +317,8 @@ def compile_wide_step(mesh, axis: str, nr: int, nd: int, w: int,
     assert size_cap is not None and size_cap <= 128, \
         "wide mode requires the windowed analyzer (size_cap <= 128)"
     B = nr // nshards
+    assert B < 2**31, \
+        "wide-scan blocks must stay int32-indexable (add shards)"
     M = min(M, B)
     H = size_cap + 1
     assert H <= B, "shard blocks must cover one halo width"
@@ -378,6 +379,14 @@ def find_matches_wide(rb, opts, mesh, axis: str = "seq",
     prep = ops_pfp.pfp_scan_prepare(
         pfp, rb.doc_ends, rb.num_docs, row_dtype=np.uint32,
         dict_mesh=(mesh, axis) if shard_dict else None)
+    if prep["lvl_cap"] + 7 > 31:
+        # _block_operands packs (suf_len << 7) | bwt into int32; the
+        # narrow path gates this on the same bound (_pack_da_mode) and
+        # falls back to unpacked operands — the block scan has no
+        # unpacked tier, so refuse instead of corrupting silently
+        raise ValueError(
+            "block scan requires phrase maxlen < 2^24 (suffix-length "
+            "pack bound); split the collection into per-host partitions")
     nshards = int(mesh.shape[axis])
     nr = prep["nr"]
     assert nr < 2**32 - 1, "wide mode covers row spaces up to 2^32"
@@ -413,12 +422,4 @@ def _assemble_wide(rb, opts, counts, windows, nshards: int, M: int):
                 # the row counts as its doc's first inside any interval
                 a[a == int(U32_MAX)] = -1
         win[k] = a
-
-    class _W:
-        def __init__(self, d):
-            self._d = d
-
-        def items(self):
-            return self._d.items()
-
-    return seqpfp._assemble_results(rb, opts, counts, _W(win), nshards, M)
+    return seqpfp._assemble_results(rb, opts, counts, win, nshards, M)
