@@ -34,11 +34,31 @@ def scan_collection(text, doc_ends, n: int, num_docs: int,
     """Direct (-g) backend. alpha_thresholds/lcp_thresholds: optional
     static alphabet split points enabling the 8-char SA seed (<= 8
     distinct bytes) and the packed 7-char LCP bottom (<= 16) — the same
-    levers the PFP dict stage uses (ops/pfp.pfp_scan_prepare)."""
+    levers the PFP dict stage uses (ops/pfp.pfp_scan_prepare). With the
+    8-letter seed the LCP also takes the PLCP / irreducible-LCP path
+    (~4 O(n) random passes instead of ~2 per doubling level); the
+    uncapped history ends with an all-distinct rank row, so the values
+    are exact on every real row, and the zero-pad class is pinned to one
+    canonical value by canonicalize_pad_lcp in both implementations
+    (doc_ends[-1] is the first pad position — pads never reach the
+    emitters, but the canonical values keep .lcp checkpoint bytes
+    implementation-independent)."""
     sa, hist, num_lvl = ops_suffix._suffix_array_impl(
         text, n, packed_init=True, alpha_thresholds=alpha_thresholds)
-    lcp = ops_suffix._lcp_impl(sa, hist, num_lvl, n, text=text,
-                               bottom_thresholds=lcp_thresholds)
+    if alpha_thresholds is not None:
+        # deep_cap n//4: unlike the PFP dictionary (mostly unique
+        # content, ~2-3% deep), the full repetitive text has long
+        # run-boundary lcps, so a larger share of the ~r irreducible
+        # rows saturates the 9-char probe; past n//4 the lax.cond falls
+        # back to the classic full descent (same values)
+        lcp, _isa = ops_suffix._lcp_plcp_impl(
+            sa, hist, text, n, hist.shape[0], alpha_thresholds,
+            deep_cap=max(n // 4, 1024), num_lvl=num_lvl)
+    else:
+        lcp = ops_suffix._lcp_impl(sa, hist, num_lvl, n, text=text,
+                                   bottom_thresholds=lcp_thresholds)
+    lcp = ops_suffix.canonicalize_pad_lcp(
+        lcp, sa, doc_ends[num_docs - 1] + 1, n)
     bwt = jnp.take(text, (sa + (n - 1)) % n)
     da = jnp.minimum(
         jnp.searchsorted(doc_ends, sa, side="right"), num_docs

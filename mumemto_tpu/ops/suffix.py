@@ -218,7 +218,8 @@ def _lcp_impl(sa: jax.Array, hist: jax.Array, num_lvl: jax.Array, n: int,
 
 
 def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
-                   levels: int, probe_thr: tuple, deep_cap: int):
+                   levels: int, probe_thr: tuple, deep_cap: int,
+                   num_lvl=None):
     """PLCP (irreducible-LCP) computation of the adjacent-row LCP array —
     the fast path of the dictionary LCP stage (trace-time alternative to
     _lcp_impl; must be called inside a jit).
@@ -259,9 +260,24 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
     2^levels-1 only in the zero-pad class — the caller canonicalizes
     those; all other rows are exact (tested clamped at maxlen+1 in
     tests/test_pfp.py). Returns (lcp, isa) — isa is a byproduct the
-    caller would otherwise recompute."""
+    caller would otherwise recompute.
+
+    num_lvl: traced count of COMPUTED doubling rounds for uncapped
+    (early-exiting) histories — hist rows at or above it are zeros, so
+    descents clamp to row num_lvl - 1, exactly like _lcp_impl. The
+    direct (-g) backend passes it; the depth-capped dict path (all rows
+    materialized) leaves it None. Uncapped histories end with an
+    all-distinct rank row, so there are no tie-interior rows and the
+    result is exact on every non-pad row."""
     L = hist.shape[0] - 1
     top = min(levels - 1, L)
+
+    def _row(lvl):
+        if num_lvl is None:
+            return hist[min(lvl, L)]
+        return jax.lax.dynamic_index_in_dim(
+            hist, jnp.minimum(jnp.int32(lvl), num_lvl - 1), 0,
+            keepdims=False)
     idx = jnp.arange(n, dtype=jnp.int32)
 
     code = jnp.zeros((n,), jnp.int32)
@@ -301,7 +317,7 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
         b = jnp.take(phi, a)
         h = jnp.zeros((deep_cap,), jnp.int32)
         for lvl in range(top, 2, -1):
-            ranks = hist[min(lvl, L)]
+            ranks = _row(lvl)
             ia = a + h
             ib = b + h
             inb = (ia < n) & (ib < n)
@@ -337,7 +353,7 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
         b = sa
         h = jnp.zeros((n,), jnp.int32)
         for lvl in range(top, 2, -1):
-            ranks = hist[min(lvl, L)]
+            ranks = _row(lvl)
             ia = a + h
             ib = b + h
             inb = (ia < n) & (ib < n)
