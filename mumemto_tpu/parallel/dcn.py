@@ -33,13 +33,21 @@ from mumemto_tpu.parallel import mumemtom
 
 def initialize(coordinator: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
+               process_id: int | None = None,
+               heartbeat_timeout_seconds: int = 300,
+               shutdown_timeout_seconds: int = 1200) -> None:
     """Wire this process into the multi-host system.
 
     Arguments default to the MUMEMTO_COORDINATOR / MUMEMTO_NUM_PROCESSES /
     MUMEMTO_PROCESS_ID environment variables; on managed TPU pods all
     three may be None and jax.distributed autodetects the topology. Safe
-    to call once per process, before first device use."""
+    to call once per process, before first device use.
+
+    The timeout defaults are generous on purpose: partition scans are
+    minutes-long batch work, not steady training steps, so a process may
+    legitimately go quiet (device compile, host I/O) far longer than the
+    jax defaults (100 s heartbeat / 300 s shutdown barrier) tolerate —
+    measured: a loaded CI host blew the 300 s shutdown barrier."""
     import jax
 
     coordinator = coordinator or os.environ.get("MUMEMTO_COORDINATOR")
@@ -47,9 +55,11 @@ def initialize(coordinator: str | None = None,
         num_processes = int(os.environ["MUMEMTO_NUM_PROCESSES"])
     if process_id is None and "MUMEMTO_PROCESS_ID" in os.environ:
         process_id = int(os.environ["MUMEMTO_PROCESS_ID"])
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=num_processes,
+        process_id=process_id,
+        heartbeat_timeout_seconds=heartbeat_timeout_seconds,
+        shutdown_timeout_seconds=shutdown_timeout_seconds)
 
 
 def barrier(name: str) -> None:
