@@ -54,3 +54,47 @@ def test_padding_is_output_neutral(rng, collection):
         outs.append(res.output_bytes())
     assert outs[0] == outs[1] == outs[2]
     assert outs[0]  # nonempty — the collection shares a mutated base
+
+
+def test_plcp_direct_text_exact(rng):
+    """Direct-backend PLCP (traced num_lvl, uncapped history) == classic
+    descent EXACTLY on real rows (no depth cap -> no tie-interior class),
+    with zero-pad rows canonicalized identically; repetitive content
+    exercises both the compacted deep descent and, at deep_cap=1, the
+    lax.cond fallback."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from mumemto_tpu.ops import pfp as ops_pfp
+    from tests.conftest import mutated_collection
+
+    docs = mutated_collection(rng, 3, base_len=1200)
+    rb = refbuilder.build_from_sequences(docs)
+    padded = np.zeros(engine.pad_size(rb.text.size), dtype=np.uint8)
+    padded[: rb.text.size] = rb.text
+    n = padded.size
+    seed_thr, lcp_thr = ops_pfp.seed_thresholds(padded[: rb.text.size])
+    assert seed_thr is not None
+    total = int(rb.doc_ends[-1]) + 1
+
+    @functools.partial(jax.jit, static_argnames=("deep_cap",))
+    def both(text, deep_cap):
+        sa, hist, num_lvl = ops_suffix._suffix_array_impl(
+            text, n, packed_init=True, alpha_thresholds=seed_thr)
+        old = ops_suffix._lcp_impl(sa, hist, num_lvl, n, text=text,
+                                   bottom_thresholds=lcp_thr)
+        new, isa = ops_suffix._lcp_plcp_impl(
+            sa, hist, text, n, hist.shape[0], seed_thr,
+            deep_cap=deep_cap, num_lvl=num_lvl)
+        old = ops_suffix.canonicalize_pad_lcp(old, sa, total, n)
+        new = ops_suffix.canonicalize_pad_lcp(new, sa, total, n)
+        return old, new, sa, isa
+
+    text = jnp.asarray(padded)
+    for cap in (max(n // 4, 1024), 1):  # fast path, then forced fallback
+        old, new, sa, isa = both(text, cap)
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+        sa = np.asarray(sa)
+        assert (np.asarray(isa)[sa] == np.arange(n)).all()
