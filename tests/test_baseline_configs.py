@@ -72,3 +72,32 @@ def test_anchor_merge_20_genomes(rng, tmp_path):
         return L[order].tolist(), S[order].tolist(), T[order].tolist()
 
     assert key(out) == key(union + ".mums")
+
+
+def test_chr_shape_20_haplotypes_blocks(rng):
+    """BASELINE config 5 shape: 20 haplotypes, full multi-MUM + collinear
+    blocks, scaled to CPU-test size. The designated chr-scale execution
+    path (block-sharded wide scan) must be byte-equal to the single-device
+    engine, and the analysis layer must produce collinear blocks."""
+    import jax
+
+    from mumemto_tpu.analysis import mumdata
+    from mumemto_tpu.parallel import seqpfp
+
+    docs = _docs(rng, 20, base_len=3000, n_mut=10)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    res = engine.find_matches(rb, opts, backend="pfp")
+    assert res.output_bytes() == naive.oracle_output(rb, opts)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("seq",))
+    sharded = seqpfp.find_matches_seq_sharded(rb, opts, mesh)
+    assert sharded.output_bytes() == res.output_bytes()
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        pfx = os.path.join(td, "c5")
+        engine.write_outputs(res, rb, pfx)
+        md = mumdata.MUMdata(pfx + ".mums")
+    blocks = mumdata.find_coll_blocks(md)
+    assert len(blocks) > 0
