@@ -149,6 +149,15 @@ def main():
         try:
             np.asarray(jax.jit(lambda: jnp.zeros((2,), jnp.int32))())
             log(f"[bench] transfer-channel warmup: {time.time() - t0:.2f}s")
+            plat = jax.devices()[0].platform
+            log(f"[bench] device platform: {plat}")
+            if plat == "cpu" and \
+                    os.environ.get("MUMEMTO_BENCH_ALLOW_CPU") != "1":
+                # a TPU outage must fail loudly, not silently record a
+                # host-CPU number as the round's device measurement
+                raise SystemExit(
+                    "[bench] device is the CPU fallback — refusing to "
+                    "record (set MUMEMTO_BENCH_ALLOW_CPU=1 to override)")
             break
         except RuntimeError as e:
             log(f"[bench] device unavailable (attempt {attempt + 1}, "

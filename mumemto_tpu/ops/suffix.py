@@ -259,7 +259,8 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
     doubling depth (tie-interior rows) may differ from _lcp_impl below
     2^levels-1 only in the zero-pad class — the caller canonicalizes
     those; all other rows are exact (tested clamped at maxlen+1 in
-    tests/test_pfp.py). Returns (lcp, isa) — isa is a byproduct the
+    tests/test_plcp.py; the uncapped direct-text case exactly in
+    tests/test_suffix.py). Returns (lcp, isa) — isa is a byproduct the
     caller would otherwise recompute.
 
     num_lvl: traced count of COMPUTED doubling rounds for uncapped
@@ -310,12 +311,13 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
     deep = irr & (c9 >= 9) & (isa > 0)
     n_deep = deep.sum(dtype=jnp.int32)
 
-    def fast(_):
-        p = jnp.nonzero(deep, size=deep_cap, fill_value=n)[0] \
-            .astype(jnp.int32)
-        a = jnp.clip(p, 0, n - 1)
-        b = jnp.take(phi, a)
-        h = jnp.zeros((deep_cap,), jnp.int32)
+    def _descend(a, b, m: int):
+        """Rank descent for pairs (a, b): levels top..3 over the history,
+        then ONE packed 9-char probe for the < 2^3-char residual (same
+        structure as _lcp_impl; the 3-bit field counts equal the 4-bit
+        ones). Shared by the compacted fast path and the full-width
+        fallback so the lax.cond branches cannot drift apart."""
+        h = jnp.zeros((m,), jnp.int32)
         for lvl in range(top, 2, -1):
             ranks = _row(lvl)
             ia = a + h
@@ -329,11 +331,17 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
         inb = (ia < n) & (ib < n)
         wa = jnp.take(pw, jnp.minimum(ia, n - 1)) & mask9
         wb = jnp.take(pw, jnp.minimum(ib, n - 1)) & mask9
-        nc = jnp.zeros((deep_cap,), jnp.int32)
-        for k in range(1, 8):  # residual past level 3 is < 8 chars
+        nc = jnp.zeros((m,), jnp.int32)
+        for k in range(1, 8):
             s = 27 - 3 * k
             nc = nc + ((wa >> s) == (wb >> s)).astype(jnp.int32)
-        h = jnp.where(inb, h + nc, h)
+        return jnp.where(inb, h + nc, h)
+
+    def fast(_):
+        p = jnp.nonzero(deep, size=deep_cap, fill_value=n)[0] \
+            .astype(jnp.int32)
+        a = jnp.clip(p, 0, n - 1)
+        h = _descend(a, jnp.take(phi, a), deep_cap)
 
         plcp0 = c9.at[p].set(h, mode="drop")
         plcp0 = jnp.where(isa == 0, 0, plcp0)
@@ -347,30 +355,8 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
         return jnp.take(plcp, sa).at[0].set(0)
 
     def slow(_):
-        # classic full descent (bit-identical to _lcp_impl with the
-        # packed bottom; the 3-bit field counts equal the 4-bit ones)
-        a = prev_sa
-        b = sa
-        h = jnp.zeros((n,), jnp.int32)
-        for lvl in range(top, 2, -1):
-            ranks = _row(lvl)
-            ia = a + h
-            ib = b + h
-            inb = (ia < n) & (ib < n)
-            ra = jnp.take(ranks, jnp.minimum(ia, n - 1))
-            rb = jnp.take(ranks, jnp.minimum(ib, n - 1))
-            h = jnp.where(inb & (ra == rb), h + (1 << lvl), h)
-        ia = a + h
-        ib = b + h
-        inb = (ia < n) & (ib < n)
-        wa = jnp.take(pw, jnp.minimum(ia, n - 1)) & mask9
-        wb = jnp.take(pw, jnp.minimum(ib, n - 1)) & mask9
-        nc = jnp.zeros((n,), jnp.int32)
-        for k in range(1, 8):
-            s = 27 - 3 * k
-            nc = nc + ((wa >> s) == (wb >> s)).astype(jnp.int32)
-        h = jnp.where(inb, h + nc, h)
-        return h.at[0].set(0)
+        # classic full-width descent (the _lcp_impl fallback)
+        return _descend(prev_sa, sa, n).at[0].set(0)
 
     lcp = jax.lax.cond(n_deep <= deep_cap, fast, slow, None)
     return lcp, isa
@@ -378,11 +364,14 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
 
 def canonicalize_pad_lcp(lcp: jax.Array, sa: jax.Array, total, n: int):
     """Pin adjacent-pair LCPs of the zero-pad suffix class (both positions
-    >= total-1: the trailing zero pad plus the EndOfDict terminator) to
-    their true value n - max(pair): descent-based and PLCP-chain-based
-    implementations produce different (guard-dependent) values there, and
-    no consumer reads them un-guarded. Applying the same canonical value
-    in every implementation keeps lcpD comparable bit-for-bit."""
+    >= total-1: the trailing zero pad plus the terminator row) to one
+    SHARED canonical value n - max(pair): descent-based and
+    PLCP-chain-based implementations produce different (guard-dependent)
+    values there, and no consumer reads them un-guarded. The value is the
+    true LCP only for pure zero-pad pairs (for a pair touching the
+    terminator row it is merely canonical) — these rows must stay
+    unconsumed; the point is bit-for-bit comparability across
+    implementations, not exactness."""
     prev_sa = jnp.concatenate([sa[:1], sa[:-1]])
     both_pad = (jnp.minimum(prev_sa, sa) >= total - 1)
     canon = n - jnp.maximum(prev_sa, sa)

@@ -94,42 +94,36 @@ def run_partitioned_dcn(files, output_prefix: str, *,
     parts = mumemtom.auto_partition(
         list(files), num_partitions or nproc, anchor=anchor)
 
-    from mumemto_tpu import engine, options, refbuilder
-
     part_mums = []
     for i, pfiles in enumerate(parts):
         pfx = f"{output_prefix}_part{i}"
         part_mums.append(pfx + ".mums")
-        if i % nproc != pid:
-            continue
-        rb = refbuilder.build_from_files(pfiles, use_revcomp=use_revcomp)
-        rb.write_lengths_file(pfx)
-        opts = options.normalize(
-            rb.num_docs, min_match_len=min_match_len,
-            use_revcomp=use_revcomp, merge=True, anchor_merge=anchor,
-            quiet=not verbose)
-        results = engine.find_matches(rb, opts)
-        engine.write_outputs(results, rb, pfx)
+        if i % nproc == pid:
+            mumemtom.scan_partition(pfiles, pfx, anchor=anchor,
+                                    min_match_len=min_match_len,
+                                    use_revcomp=use_revcomp,
+                                    verbose=verbose)
 
     barrier("mumemto_dcn_partitions_done")
 
     merged = output_prefix + ".mums"
+    merge_err = None
     if pid == 0:
-        if len(part_mums) == 1:
-            os.replace(part_mums[0], merged)
-            base = os.path.splitext(part_mums[0])[0]
-            for ext in (".lengths", ".athresh", ".thresh", ".thresh_rev"):
-                if os.path.exists(base + ext):
-                    os.replace(base + ext, output_prefix + ext)
-        else:
-            from mumemto_tpu.analysis import merge as merge_mod
+        try:
+            mumemtom.merge_partition_outputs(part_mums, output_prefix,
+                                             collective=collective)
+        except Exception as e:  # noqa: BLE001 — broadcast before raising
+            merge_err = e
+    # broadcast the merge outcome (the allgather doubles as the final
+    # barrier) so a rank-0 failure raises EVERYWHERE instead of stranding
+    # the other ranks until the shutdown timeout buries the real error
+    import numpy as np
+    from jax.experimental import multihost_utils
 
-            argv = part_mums + ["-o", output_prefix]
-            if collective:
-                argv.append("--collective")
-            rc = merge_mod.run(argv)
-            if rc != 0:
-                raise RuntimeError(f"merge failed with exit code {rc}")
-
-    barrier("mumemto_dcn_merge_done")
+    ok = np.asarray(multihost_utils.process_allgather(
+        np.asarray([merge_err is None], bool))).reshape(-1)
+    if merge_err is not None:
+        raise merge_err
+    if not ok.all():
+        raise RuntimeError("merge failed on process 0 — see its log")
     return merged

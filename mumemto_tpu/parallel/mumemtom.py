@@ -56,27 +56,27 @@ def auto_partition(files, num_partitions: int, anchor: bool = True):
     return parts
 
 
-def run_partitioned(partitions, output_prefix: str, anchor: bool = True,
-                    min_match_len: int = 20, use_revcomp: bool = True,
-                    verbose: bool = False) -> str:
-    """Run the engine per partition with merge metadata, then merge.
+def scan_partition(files, pfx: str, anchor: bool = True,
+                   min_match_len: int = 20, use_revcomp: bool = True,
+                   verbose: bool = False) -> str:
+    """One partition: full engine scan with merge metadata, outputs under
+    pfx. Shared by the in-process flow below and the multi-host SPMD flow
+    (parallel/dcn.py). Returns the partition .mums path."""
+    rb = refbuilder.build_from_files(files, use_revcomp=use_revcomp)
+    rb.write_lengths_file(pfx)
+    opts = options.normalize(
+        rb.num_docs, min_match_len=min_match_len,
+        use_revcomp=use_revcomp, merge=True, anchor_merge=anchor,
+        quiet=not verbose)
+    results = engine.find_matches(rb, opts)
+    engine.write_outputs(results, rb, pfx)
+    return pfx + ".mums"
 
-    partitions: list of file lists. With anchor=True every partition must
-    start with the same anchor file. Returns the merged .mums path.
-    """
-    part_mums = []
-    for i, files in enumerate(partitions):
-        pfx = f"{output_prefix}_part{i}"
-        rb = refbuilder.build_from_files(files, use_revcomp=use_revcomp)
-        rb.write_lengths_file(pfx)
-        opts = options.normalize(
-            rb.num_docs, min_match_len=min_match_len,
-            use_revcomp=use_revcomp, merge=True, anchor_merge=anchor,
-            quiet=not verbose)
-        results = engine.find_matches(rb, opts)
-        engine.write_outputs(results, rb, pfx)
-        part_mums.append(pfx + ".mums")
 
+def merge_partition_outputs(part_mums, output_prefix: str,
+                            collective: bool = False) -> str:
+    """Combine partition outputs into output_prefix.mums (single-partition
+    degenerates to a rename of every sidecar). Shared with dcn.py."""
     merged = output_prefix + ".mums"
     if len(part_mums) == 1:
         os.replace(part_mums[0], merged)
@@ -85,10 +85,30 @@ def run_partitioned(partitions, output_prefix: str, anchor: bool = True,
             if os.path.exists(src):
                 os.replace(src, output_prefix + ext)
         return merged
-    rc = merge_mod.run(part_mums + ["-o", merged])
+    argv = list(part_mums) + ["-o", output_prefix]
+    if collective:
+        argv.append("--collective")
+    rc = merge_mod.run(argv)
     if rc != 0:
         raise RuntimeError(f"merge failed with exit code {rc}")
     return merged
+
+
+def run_partitioned(partitions, output_prefix: str, anchor: bool = True,
+                    min_match_len: int = 20, use_revcomp: bool = True,
+                    verbose: bool = False) -> str:
+    """Run the engine per partition with merge metadata, then merge.
+
+    partitions: list of file lists. With anchor=True every partition must
+    start with the same anchor file. Returns the merged .mums path.
+    """
+    part_mums = [
+        scan_partition(files, f"{output_prefix}_part{i}", anchor=anchor,
+                       min_match_len=min_match_len,
+                       use_revcomp=use_revcomp, verbose=verbose)
+        for i, files in enumerate(partitions)
+    ]
+    return merge_partition_outputs(part_mums, output_prefix)
 
 
 def run_partitioned_files(files, output_prefix: str,

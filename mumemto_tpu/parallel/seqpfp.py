@@ -287,18 +287,24 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
     n_rows = int((pfp.phrase_ln[pfp.parse].astype(np.int64)
                   - pfp.w).sum())
     past_31 = ops_pfp.bucket(n_rows) >= 2**31
-    if wide is None:
-        wide = (past_31 or os.environ.get("MUMEMTO_WIDE_ROWS") == "1"
-                or (not force_gspmd and size_cap <= 128))
-    if past_31 and not wide:
+    if past_31 and (force_gspmd or wide is False):
         # the GSPMD formulation's row coordinates are int32 and would
         # wrap silently (cumcnt/cumC .astype(int32) in _host_prep)
         raise ValueError("row spaces past 2^31 need the block (wide) "
                          "scan; drop wide=False / force_gspmd")
+    if wide is None:
+        wide = (past_31 or os.environ.get("MUMEMTO_WIDE_ROWS") == "1"
+                or (not force_gspmd and size_cap <= 128))
     if wide:
         from mumemto_tpu.parallel import widepfp
-        return widepfp.find_matches_wide(rb, opts, mesh, axis=axis, M=M,
-                                         pfp=pfp, shard_dict=shard_dict)
+        try:
+            return widepfp.find_matches_wide(rb, opts, mesh, axis=axis,
+                                             M=M, pfp=pfp,
+                                             shard_dict=shard_dict)
+        except widepfp.PhrasePackOverflow:
+            if past_31:
+                raise  # no int32 path exists for this row space either
+            pass  # fall through: GSPMD's unpacked operand tier covers it
     prep = ops_pfp.pfp_scan_prepare(
         pfp, rb.doc_ends, rb.num_docs,
         dict_mesh=(mesh, axis) if shard_dict else None)

@@ -78,6 +78,13 @@ U32 = jnp.uint32
 U32_MAX = np.uint32(0xFFFFFFFF)
 
 
+class PhrasePackOverflow(ValueError):
+    """The dictionary's longest phrase exceeds the (suf_len << 7) | bwt
+    int32 pack bound (maxlen >= 2^24). The GSPMD formulation's unpacked
+    operand tier still handles such inputs below 2^31 rows —
+    find_matches_seq_sharded falls back to it automatically."""
+
+
 # ---------------------------------------------------------------------------
 # stage A: per-shard expansion operands
 # ---------------------------------------------------------------------------
@@ -383,10 +390,14 @@ def find_matches_wide(rb, opts, mesh, axis: str = "seq",
         # _block_operands packs (suf_len << 7) | bwt into int32; the
         # narrow path gates this on the same bound (_pack_da_mode) and
         # falls back to unpacked operands — the block scan has no
-        # unpacked tier, so refuse instead of corrupting silently
-        raise ValueError(
+        # unpacked tier, so refuse instead of corrupting silently (the
+        # seqpfp router catches this and retries via the GSPMD unpacked
+        # tier when the row space permits)
+        raise PhrasePackOverflow(
             "block scan requires phrase maxlen < 2^24 (suffix-length "
-            "pack bound); split the collection into per-host partitions")
+            "pack bound); use the GSPMD formulation "
+            "(find_matches_seq_sharded(force_gspmd=True)) below 2^31 "
+            "rows, or split the collection into per-host partitions")
     nshards = int(mesh.shape[axis])
     nr = prep["nr"]
     assert nr < 2**32 - 1, "wide mode covers row spaces up to 2^32"
