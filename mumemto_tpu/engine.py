@@ -14,6 +14,7 @@ semantics cited per rule in ops/intervals.py and below.
 
 from __future__ import annotations
 
+from collections.abc import Sequence as _Sequence
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -86,12 +87,26 @@ class MatchResults:
         return len(self.mem_lines)
 
     def mum_lines(self) -> list:
-        out = []
-        for i in range(len(self.lengths)):
-            strands = ["+" if s > 0 else "-" for s in self.strands[i]]
-            out.append(formats.format_mum_line(
-                int(self.lengths[i]), [int(x) for x in self.offsets[i]], strands))
-        return out
+        """Vectorized .mums line assembly (format_mum_line semantics,
+        mem_finder.hpp:406-425: docs 0..N-2 always get a trailing comma,
+        absent slots render empty, last doc appended only if present)."""
+        m = len(self.lengths)
+        if m == 0:
+            return []
+        N = self.offsets.shape[1]
+        present = self.offsets != -1
+        sep = np.array([","] * (N - 1) + [""])
+        pos_p = np.char.add(
+            np.where(present, np.char.mod("%d", self.offsets), ""), sep)
+        strand_p = np.char.add(
+            np.where(present,
+                     np.where(self.strands > 0, "+", "-"), ""), sep)
+        starts = np.arange(m, dtype=np.int64) * N
+        pos_col = _join_ragged(pos_p.ravel(), starts)
+        strand_col = _join_ragged(strand_p.ravel(), starts)
+        head = np.char.add(np.char.mod("%d", self.lengths), "\t")
+        full = head.astype(object) + pos_col + "\t" + strand_col + "\n"
+        return "".join(full.tolist()).encode().splitlines(keepends=True)
 
     def output_bytes(self) -> bytes:
         if self.opts.mum_mode:
@@ -377,11 +392,45 @@ def _emit_mums(results, s, e, L, w_sa, w_da, valid, opts,
         [OFF[keep][:, 0], L[keep]], axis=1) if opts.merge else None
 
 
+class _MemRecords(_Sequence):
+    """Lazy list-like view of (L, positions, docs, strands) per match over
+    flat occurrence arrays — avoids 10^5-10^6 per-match tuple/slice
+    construction at emit time (the merge-mode chr-scale workload); each
+    record materializes on access with identical values to the old eager
+    tuples."""
+
+    def __init__(self, L, tposf, docf, negf, offs):
+        self._L = L
+        self._tposf = tposf
+        self._docf = docf
+        self._negf = negf
+        self._offs = offs
+
+    def __len__(self):
+        return len(self._L)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        o, o2 = self._offs[i], self._offs[i + 1]
+        return (int(self._L[i]), self._tposf[o:o2],
+                self._docf[o:o2].astype(np.int64), ~self._negf[o:o2])
+
+
+def _join_ragged(pieces, starts):
+    """Per-row string concatenation of a flat unicode piece array grouped
+    by `starts` (reduceat over object strings; groups are small — one
+    occurrence list each)."""
+    return np.add.reduceat(pieces.astype(object), starts)
+
+
 def _emit_mems(results, s, e, L, w_sa, w_da, valid, opts,
                doc_offsets, doc_lens):
     """write_mem semantics (mem_finder.hpp:210-263), incl. the last-element
-    '-' transform quirk (no -1 at :248). Coordinate transforms are
-    vectorized over the (m, W) windows; only line assembly loops."""
+    '-' transform quirk (no -1 at :248). Fully vectorized — coordinate
+    transforms AND line assembly are numpy array programs (the reference's
+    writer is a stream loop, but our contract is batch: 10^5-10^6 matches
+    must emit in seconds of host time, not minutes)."""
     m = len(s)
     if m == 0:
         results.mem_lines = []
@@ -402,20 +451,33 @@ def _emit_mems(results, s, e, L, w_sa, w_da, valid, opts,
     # match drops the -1 (mem_finder.hpp:248)
     tpos = np.where(neg, 2 * dl - pos - L[:, None].astype(np.int64)
                     - 1 + is_last, pos)
-    lines = []
-    records = []
-    for i in range(m):
-        k = int(nv[i])
-        Li = int(L[i])
-        p = tpos[i, :k]
-        d = w_da[i, :k]
-        sn = neg[i, :k]
-        strand = ["-" if x else "+" for x in sn]
-        lines.append(formats.format_mem_line(Li, p.tolist(), d.tolist(),
-                                             strand))
-        records.append((Li, p, d.astype(np.int64), ~sn))
-    results.mem_lines = lines
-    results.mem_records = records
+
+    # flat occurrence arrays, row-major (valid is a prefix mask per row;
+    # every emitted interval has >= 2 rows, required by the ragged joins)
+    assert nv.min() > 0, "empty emission window"
+    tposf = tpos[valid]
+    docf = w_da[valid].astype(np.int32)
+    negf = neg[valid]
+    offs = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(nv, out=offs[1:])
+    starts = offs[:-1]
+    # trailing comma after every occurrence except the row's last
+    rowid = np.repeat(np.arange(m), nv)
+    jj = np.arange(offs[-1]) - starts[rowid]
+    sep = np.where(jj == nv[rowid] - 1, "", ",")
+    pos_col = _join_ragged(np.char.add(
+        np.char.mod("%d", tposf), sep), starts)
+    doc_col = _join_ragged(np.char.add(
+        np.char.mod("%d", docf), sep), starts)
+    strand_col = _join_ragged(np.char.add(
+        np.where(negf, "-", "+"), sep), starts)
+    head = np.char.add(np.char.mod("%d", L.astype(np.int64)), "\t")
+    full = (head.astype(object) + pos_col + "\t" + doc_col + "\t"
+            + strand_col + "\n")
+    results.mem_lines = "".join(full.tolist()).encode().splitlines(
+        keepends=True)
+    results.mem_records = _MemRecords(L.astype(np.int64), tposf, docf,
+                                      negf, offs)
 
 
 def _merge_thresholds(results, has0, sa_first0, prev_ctx, next_ctx,
@@ -425,7 +487,10 @@ def _merge_thresholds(results, has0, sa_first0, prev_ctx, next_ctx,
     written at the first-genome offset of the interval's doc-0 row. Later
     writes at the same position win (plain assignment in stream order)."""
     dl0 = int(doc_lens[0])
-    thresh = np.zeros(dl0 * 2, dtype=np.int64)
+    # uint16 is exact: values are clamped to MAX_THRESH = 65535 below, and
+    # the on-disk format is uint16 (write_thresh) — storing 2-byte entries
+    # keeps thresh_arrays' chr-scale gathers at 1/4 the memory traffic
+    thresh = np.zeros(dl0 * 2, dtype=np.uint16)
     rowpos = sa_first0[has0].astype(np.int64) - doc_offsets[0]
     nb = np.minimum(np.maximum(prev_ctx[has0], next_ctx[has0]), MAX_THRESH)
     if rowpos.size:
@@ -437,25 +502,44 @@ def _merge_thresholds(results, has0, sa_first0, prev_ctx, next_ctx,
 
 
 def thresh_arrays(results: MatchResults, doc_len0: int):
-    """Close-time .thresh/.thresh_rev generation (mem_finder.hpp:116-157)."""
+    """Close-time .thresh/.thresh_rev generation (mem_finder.hpp:116-157),
+    as one flat ragged-expansion array program (each MUM contributes
+    `length` threshold slots + one zero separator slot)."""
     mp = results.mum_positions
     order = np.argsort(mp[:, 0], kind="stable")
     mp = mp[order]
-    total = int((mp[:, 1] + 1).sum())
+    pos_a = mp[:, 0]
+    len_a = mp[:, 1]
+    total = int((len_a + 1).sum())
     fwd = np.zeros(total, dtype=np.uint16)
     rev = np.zeros(total, dtype=np.uint16)
     ct = results.candidate_thresh
-    offset = 0
-    for pos, length in mp.tolist():
-        revpos = 2 * doc_len0 - pos - length - 1
-        jj = np.arange(length)
-        fv = ct[pos + jj]
-        rv = ct[revpos + jj]
-        sel = fv < (length - jj)
-        fwd[offset:offset + length][sel] = fv[sel]
-        sel = rv < (length - jj)
-        rev[offset:offset + length][sel] = rv[sel]
-        offset += length + 1
+    nflat = int(len_a.sum())
+    if nflat == 0:
+        return fwd, rev
+    # One arange + four repeats, all expressed as "per-row base + flat
+    # position": with starts = cumsum(len)-len, any per-row-affine flat
+    # quantity q_row + jj becomes repeat(q_row - starts, len) + arange —
+    # no rowid gathers. Narrow index dtype halves the memory traffic
+    # (this host's core is bandwidth-bound on these passes).
+    idx_dt = np.int64 if (nflat >= 2**31 or 2 * doc_len0 >= 2**31
+                          or total >= 2**31) else np.int32
+    starts = (np.cumsum(len_a) - len_a).astype(idx_dt)
+    len_i = len_a.astype(idx_dt)
+    pos_i = pos_a.astype(idx_dt)
+    ar = np.arange(nflat, dtype=idx_dt)
+    revpos = idx_dt(2 * doc_len0) - pos_i - len_i - 1
+    out_starts = np.cumsum(len_i + 1) - (len_i + 1)
+    # thresholds are < 2^16 (MAX_THRESH clamp) — gather 2-byte values
+    ct16 = ct if ct.dtype == np.uint16 else ct.astype(np.uint16)
+    fv = ct16[np.repeat(pos_i - starts, len_a) + ar]
+    rv = ct16[np.repeat(revpos - starts, len_a) + ar]
+    rem = np.repeat(len_i + starts, len_a) - ar
+    out = np.repeat((out_starts - starts).astype(idx_dt), len_a) + ar
+    sel = fv < rem
+    fwd[out[sel]] = fv[sel]
+    sel = rv < rem
+    rev[out[sel]] = rv[sel]
     return fwd, rev
 
 

@@ -712,11 +712,18 @@ def _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
     a = jnp.concatenate([saP[:1], saP[:-1]])
     b = saP
     k = klcp
-    # cumC may be uint32 in the wide-coordinate path; the DIFFERENCE is a
-    # true text-LCP component < 2^31, so the modular subtraction is exact
-    # and the int32 cast is safe
-    c = (jnp.take(cumC, jnp.clip(a + k, 0, mp))
-         - jnp.take(cumC, jnp.clip(a, 0, mp))).astype(jnp.int32)
+    # Compute the char-length component in uint32: cumC may be uint32 in
+    # the wide-coordinate path, and a true text-LCP component can reach
+    # n_text < 2^32 there (an adversarial >2^31-char repeat), where an
+    # int32 cast would wrap SILENTLY. The uint32 difference is exact for
+    # every representable n_text; the final value then SATURATES at
+    # 2^31-1 (a defined, documented limit: the int32 LCP value space caps
+    # representable match lengths at 2^31-1 chars — far past the
+    # reference's own 5-byte coordinate / uint16 merge-threshold limits,
+    # common.hpp:59-61, pfp_mum.hpp:35-36).
+    cu = cumC.astype(jnp.uint32)
+    c = (jnp.take(cu, jnp.clip(a + k, 0, mp))
+         - jnp.take(cu, jnp.clip(a, 0, mp)))
     x = jnp.take(pprime, jnp.clip(a + k, 0, mp - 1))
     y = jnp.take(pprime, jnp.clip(b + k, 0, mp - 1))
     xr = jnp.take(isaD, jnp.take(d_starts, x))
@@ -726,7 +733,10 @@ def _build_slt(pprime, saP, klcp, cumC, d_starts, lcpD, isaD, mp: int, nd: int):
     tab = ops_intervals._sparse_min_table(lcpD)
     pair = _rmq_query(tab, lo, hi)
     pair = jnp.where((x == 0) | (y == 0) | (x == y), 0, pair)
-    slt = c + pair
+    # c + pair < 2^32 always (an LCP of two distinct text suffixes is
+    # < n_text <= 2^32), so the uint32 add is exact; saturate, then cast
+    slt = jnp.minimum(c + pair.astype(jnp.uint32),
+                      jnp.uint32(2**31 - 1)).astype(jnp.int32)
     return slt.at[0].set(0)
 
 

@@ -125,6 +125,15 @@ def _dense_arrays(parts, n_anchor: int):
     for k, (lengths, starts, _strands, bv, nb) in enumerate(parts):
         if nb.size != n_anchor:
             raise ValueError("anchor length mismatch across partitions")
+        # the device fold runs in int32 while the host fold it must match
+        # byte-for-byte runs in int64 — refuse (rather than silently wrap)
+        # thresholds/lengths past int32, like the widepfp guards do
+        if nb.size and (int(np.max(nb)) >= 2**31
+                        or (lengths.size and int(np.max(lengths)) >= 2**31)):
+            raise ValueError(
+                f"partition {k}: anchor thresholds/lengths >= 2^31 exceed "
+                "the collective fold's int32 operands — use the host fold "
+                "(merge without --collective)")
         bv_all[k] = bv
         nb_all[k] = nb
         len_all[k, starts[:, 0]] = lengths

@@ -292,6 +292,18 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
         # wrap silently (cumcnt/cumC .astype(int32) in _host_prep)
         raise ValueError("row spaces past 2^31 need the block (wide) "
                          "scan; drop wide=False / force_gspmd")
+    if past_31 and size_cap > 128:
+        # neither formulation covers this regime: the block scan's
+        # windowed stencils are compiled for caps <= 128 and GSPMD's row
+        # coordinates are int32 — say so, instead of surfacing the block
+        # path's generic 'size cap <= 128' error
+        raise ValueError(
+            f"row space past 2^31 with interval size cap {size_cap} > 128 "
+            "(collections of > 128 docs): no seq-sharded formulation "
+            "covers this regime in one run — split the collection into "
+            "per-host MumemtoM partitions (parallel/mumemtom.py, CLI "
+            "partitions + merge) and anchor-merge the outputs")
+    wide_explicit = wide is True
     if wide is None:
         wide = (past_31 or os.environ.get("MUMEMTO_WIDE_ROWS") == "1"
                 or (not force_gspmd and size_cap <= 128))
@@ -302,8 +314,11 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
                                              M=M, pfp=pfp,
                                              shard_dict=shard_dict)
         except widepfp.PhrasePackOverflow:
-            if past_31:
-                raise  # no int32 path exists for this row space either
+            if past_31 or wide_explicit:
+                # past 2^31 no int32 path exists; and an EXPLICITLY
+                # requested wide=True must not silently degrade to the
+                # int32 GSPMD formulation
+                raise
             pass  # fall through: GSPMD's unpacked operand tier covers it
     prep = ops_pfp.pfp_scan_prepare(
         pfp, rb.doc_ends, rb.num_docs,
