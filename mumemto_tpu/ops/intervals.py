@@ -76,27 +76,42 @@ def _sparse_min_table(values: jax.Array, max_level: int | None = None) -> list:
     return table
 
 
-def _psv_walk(table_min: list, p: jax.Array, thresh: jax.Array):
-    """max q < p with LCP[q] < thresh (exists whenever LCP[0] < thresh)."""
+def _psv_walk(table_min: list, p: jax.Array, thresh: jax.Array,
+              max_dist: int | None = None):
+    """max q < p with LCP[q] < thresh (exists whenever LCP[0] < thresh).
+
+    max_dist bounds every PROBE (not just the result) to positions
+    >= p - max_dist: exact whenever the true PSV is within max_dist of p
+    (blocks fully inside (PSV, p) are never guard-blocked), and walks whose
+    PSV lies farther stop on a >= thresh position, which the caller's
+    found-check then invalidates. This is what makes the walk BLOCK-LOCAL:
+    inside a shard_map over haloed blocks (parallel/widepfp.py), a halo of
+    max_dist + 1 rows per side covers every position the walk can touch."""
     n = table_min[0].shape[0]
     cur = p - 1
     for lvl in range(len(table_min) - 1, -1, -1):
         width = 1 << lvl
         start = cur - width + 1
         ok = start >= 0
+        if max_dist is not None:
+            ok = ok & (start >= p - max_dist)
         blockmin = jnp.take(table_min[lvl], jnp.clip(start, 0, n - 1))
         take = ok & (blockmin >= thresh)
         cur = jnp.where(take, cur - width, cur)
     return cur
 
 
-def _nsv_walk(table_min: list, p: jax.Array, thresh: jax.Array):
-    """min q > p with LCP[q] < thresh, or n if none (open interval)."""
+def _nsv_walk(table_min: list, p: jax.Array, thresh: jax.Array,
+              max_dist: int | None = None):
+    """min q > p with LCP[q] < thresh, or n if none (open interval).
+    max_dist: probe guard, mirror of _psv_walk's."""
     n = table_min[0].shape[0]
     cur = p + 1
     for lvl in range(len(table_min) - 1, -1, -1):
         width = 1 << lvl
         ok = cur + width <= n
+        if max_dist is not None:
+            ok = ok & (cur + width <= p + 1 + max_dist)
         blockmin = jnp.take(table_min[lvl], jnp.clip(cur, 0, n - 1))
         take = ok & (blockmin >= thresh)
         cur = jnp.where(take, cur + width, cur)
@@ -214,18 +229,19 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
     is_cand = lcp >= min_match_len
 
     windowed = size_cap is not None and size_cap <= 128
+    walk_levels = None
     if windowed:
         # shifted-slice window scan: gather-free, fully fusable
         s, e = _psv_nsv_windowed(lcp, n, size_cap)
     else:
-        walk_levels = None
         if size_cap is not None and size_cap < n:
             # levels 0..walk_levels cover walk distances up to
             # 2^(walk_levels+1) - 1 >= size_cap
             walk_levels = max((size_cap + 1).bit_length() - 1, 1)
+        guard = size_cap if walk_levels is not None else None
         tmin = _sparse_min_table(lcp, max_level=walk_levels)
-        s = _psv_walk(tmin, p, Lv)
-        e = _nsv_walk(tmin, p, Lv)
+        s = _psv_walk(tmin, p, Lv, max_dist=guard)
+        e = _nsv_walk(tmin, p, Lv, max_dist=guard)
         if walk_levels is not None:
             # capped descent: if the walk endpoint is not an actual smaller
             # value, the true interval extends beyond the cap -> cannot
@@ -233,7 +249,12 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
             s_found = jnp.take(lcp, jnp.clip(s, 0, n - 1)) < Lv
             s_found = s_found | (s < 0)  # virtual lcp[-1] = -inf
             e_found = (e < n) & (jnp.take(lcp, jnp.clip(e, 0, n - 1)) < Lv)
-            e = jnp.where(s_found & e_found, e, n)
+            # explicit width rejection: intervals wider than the cap are
+            # exactly the ones the occurrence filters reject (docstring),
+            # so this changes no cand/emit decision — it pins every
+            # SURVIVING interval inside [p - cap + 1, p + cap - 1], which
+            # is what makes the capped analyzer correct on haloed blocks
+            e = jnp.where(s_found & e_found & (e - s <= size_cap), e, n)
     closed = e < n
     if windowed:
         # p is the leftmost boundary of its interval iff every lcp in
@@ -244,6 +265,16 @@ def analyze_intervals(lcp: jax.Array, da: jax.Array, bwt: jax.Array,
         for k in range(1, size_cap):
             inside = (p - k) > s
             leftmost &= (~inside) | (_shifted(lcp, -k, 0) > Lv)
+    elif walk_levels is not None:
+        # same characterization via one more guarded walk: p is leftmost
+        # iff no q in (s, p) has lcp[q] <= L, i.e. the max q < p with
+        # lcp[q] <= L (= PSV at threshold L+1, integer lcp) is <= s.
+        # Unlike the (e, L) sort dedup this couples NO rows beyond the
+        # probe window — required for block-local use; byte-identical
+        # globally (an lcp[q] < L inside (s, p) contradicts PSV, so the
+        # only disqualifiers are equal-L siblings, exactly the sort's)
+        thr = jnp.minimum(Lv, INT32_MAX - 1) + 1
+        leftmost = _psv_walk(tmin, p, thr, max_dist=size_cap) <= s
     else:
         leftmost = _leftmost_mask(e, lcp, n)
 

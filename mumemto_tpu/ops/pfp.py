@@ -461,8 +461,7 @@ def _dict_groups(d, saD, lcpD, pos_meta, nd: int, w: int):
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _isa_dev(sa: jax.Array, n: int) -> jax.Array:
-    return jnp.zeros((n,), jnp.int32).at[sa].set(
-        jnp.arange(n, dtype=jnp.int32))
+    return ops_suffix.route_set(sa, jnp.arange(n, dtype=jnp.int32))
 
 
 def _pad_phrase_arrays(pfp: PFPData):

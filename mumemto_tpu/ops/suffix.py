@@ -23,10 +23,35 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def route_set(target_idx: jax.Array, *values: jax.Array):
+    """out_k[target_idx] = values_k where target_idx is a PERMUTATION of
+    0..n-1 — the "routing" primitive of the doubling rounds and the PLCP
+    phi/isa construction.
+
+    Two byte-identical lowerings, switched at TRACE time by
+    MUMEMTO_SORT_ROUTE=1 (prewarm both before flipping mid-process — jit
+    caches keep the traced choice):
+      * scatter (default): one .at[perm].set per value — a random O(n)
+        store pass each (~9 ns/element on the tunneled v5e).
+      * sort-route: ONE lax.sort keyed on target_idx carrying all values
+        (the sort unit measured ~2x cheaper per element than the gather/
+        scatter unit, and k values share one pass).
+    A/B microbench: tools/route_ab_tpu.py (run on hardware before
+    flipping any default)."""
+    n = target_idx.shape[0]
+    if os.environ.get("MUMEMTO_SORT_ROUTE") == "1":
+        out = jax.lax.sort((target_idx, *values), num_keys=1)
+        return out[1] if len(values) == 1 else out[1:]
+    outs = tuple(
+        jnp.zeros((n,), v.dtype).at[target_idx].set(v) for v in values)
+    return outs[0] if len(values) == 1 else outs
 
 
 def _num_levels(n: int) -> int:
@@ -121,7 +146,7 @@ def _suffix_array_impl(text: jax.Array, n: int, packed_init: bool = False,
             ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32),
         ])
         new_rank_sorted = jnp.cumsum(changed)
-        new_rank = jnp.zeros((n,), jnp.int32).at[perm].set(new_rank_sorted)
+        new_rank = route_set(perm, new_rank_sorted)
         return new_rank, perm, new_rank_sorted[-1] == n - 1
 
     if max_lvl is not None:
@@ -290,9 +315,9 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
     prevc = jnp.concatenate([jnp.zeros((1,), jnp.int32), code[:-1]])
     pw = (prevc << 27) | q
 
-    isa = jnp.zeros((n,), jnp.int32).at[sa].set(idx)
     prev_sa = jnp.concatenate([sa[:1], sa[:-1]])
-    phi = jnp.zeros((n,), jnp.int32).at[sa].set(prev_sa)
+    # isa + phi in one routing pass (sort-route carries both values)
+    isa, phi = route_set(sa, idx, prev_sa)
     pwp = jnp.take(pw, phi)  # THE gather: probe chars + prev char of phi
 
     isa_n = _shift_static(isa, 1, n, 0)

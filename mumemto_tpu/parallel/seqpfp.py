@@ -250,17 +250,21 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
     Routing: the DEFAULT formulation is the block-sharded shard_map scan
     (parallel/widepfp.py — explicit per-shard carries, linear total work
     at every scale; it also covers row spaces past 2^31, and composes
-    with the distributed dict index). The older GSPMD formulation of
-    stages A/C (below) remains ONLY for interval size caps > 128
-    (collections of > 128 docs in strict-MUM terms), because GSPMD
-    lowers the O(n) cumulative fills with full-window halos: work
-    QUADRATIC in the row count (measured: 12 s / 53 s / 545 s at
-    0.16 / 0.32 / 0.64 Mchar on the CPU mesh vs 2 / 4 / 10 s for the
-    block scan — the hazard is in the partitioner, not the backend).
+    with the distributed dict index). Since round 4 the block scan covers
+    EVERY supported size cap (<= 4096: caps <= 128 use the fused windowed
+    stencils, larger caps the probe-guarded sparse-table PSV/NSV walks —
+    ops/intervals.py — whose touch set fits the size_cap + 1 halo). The
+    older GSPMD formulation of stages A/C (below) is retained ONLY as a
+    test oracle / explicit opt-in (force_gspmd, MUMEMTO_SEQ_GSPMD=1, or
+    the PhrasePackOverflow fallback): GSPMD lowers the O(n) cumulative
+    fills with full-window halos — work QUADRATIC in the row count
+    (measured: 12 s / 53 s / 545 s at 0.16 / 0.32 / 0.64 Mchar on the
+    CPU mesh vs 2 / 4 / 10 s for the block scan — the hazard is in the
+    partitioner, not the backend).
 
-    wide: force the uint32-coordinate block path (None = auto: always,
-    unless force_gspmd or size_cap > 128; the MUMEMTO_WIDE_ROWS=1 env
-    override is kept for tests).
+    wide: force the uint32-coordinate block path (None = auto: always
+    unless force_gspmd; the MUMEMTO_WIDE_ROWS=1 env override is kept for
+    tests).
 
     shard_dict: distribute the dict-side index over the mesh too
     (parallel/sharddict.py) instead of replicating it — same output
@@ -292,21 +296,10 @@ def find_matches_seq_sharded(rb, opts, mesh, axis: str = "seq",
         # wrap silently (cumcnt/cumC .astype(int32) in _host_prep)
         raise ValueError("row spaces past 2^31 need the block (wide) "
                          "scan; drop wide=False / force_gspmd")
-    if past_31 and size_cap > 128:
-        # neither formulation covers this regime: the block scan's
-        # windowed stencils are compiled for caps <= 128 and GSPMD's row
-        # coordinates are int32 — say so, instead of surfacing the block
-        # path's generic 'size cap <= 128' error
-        raise ValueError(
-            f"row space past 2^31 with interval size cap {size_cap} > 128 "
-            "(collections of > 128 docs): no seq-sharded formulation "
-            "covers this regime in one run — split the collection into "
-            "per-host MumemtoM partitions (parallel/mumemtom.py, CLI "
-            "partitions + merge) and anchor-merge the outputs")
     wide_explicit = wide is True
     if wide is None:
         wide = (past_31 or os.environ.get("MUMEMTO_WIDE_ROWS") == "1"
-                or (not force_gspmd and size_cap <= 128))
+                or not force_gspmd)
     if wide:
         from mumemto_tpu.parallel import widepfp
         try:

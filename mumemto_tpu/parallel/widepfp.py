@@ -321,8 +321,8 @@ def compile_wide_step(mesh, axis: str, nr: int, nd: int, w: int,
     nshards = int(mesh.shape[axis])
     assert nshards & (nshards - 1) == 0, "seq axis must be a power of two"
     assert nr % nshards == 0, "row bucket must divide the shard count"
-    assert size_cap is not None and size_cap <= 128, \
-        "wide mode requires the windowed analyzer (size_cap <= 128)"
+    assert size_cap is not None and size_cap <= 4096, \
+        "block scan requires a bounded interval size cap <= 4096"
     B = nr // nshards
     assert B < 2**31, \
         "wide-scan blocks must stay int32-indexable (add shards)"
@@ -375,9 +375,10 @@ def find_matches_wide(rb, opts, mesh, axis: str = "seq",
     from mumemto_tpu import engine
 
     size_cap = engine.interval_size_cap(opts, rb.num_docs)
-    if size_cap is None or size_cap > 128:
-        raise ValueError("wide-coordinate scan requires a windowed "
-                         "interval size cap <= 128 (finite f/F)")
+    if size_cap is None or size_cap > 4096:
+        raise ValueError("block scan requires a bounded interval size "
+                         "cap <= 4096 (finite f/F; collections up to "
+                         "4096 docs in strict-MUM terms)")
     if pfp is None:
         if parse_prefix:
             pfp = ops_pfp.pfp_from_parse_files(parse_prefix, w=pfp_w)

