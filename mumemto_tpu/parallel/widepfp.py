@@ -35,10 +35,12 @@ Stages (mirroring seqpfp, same block-bitonic sort machinery):
      narrow path's key1 = -1 front-sorting convention (values, unlike
      keys, never needed a signedness flip).
   C  halo exchange of the SORTED operands (H = size_cap + 1 rows per
-     side), per-row LCP + the windowed interval analysis on the padded
-     block in LOCAL pad coordinates; every stencil of the windowed
-     analyzer reaches <= size_cap rows, so interior-shard halos
-     reproduce the global computation exactly. Edge halos are
+     side), per-row LCP + the interval analysis on the padded block in
+     LOCAL pad coordinates; every analyzer formulation touches <=
+     size_cap + 1 rows around a query row (caps <= 128: unrolled shifted
+     stencils; caps 129..4096: probe-guarded sparse-table PSV/NSV walks,
+     see ops/intervals.py), so interior-shard halos reproduce the global
+     computation exactly. Edge halos are
      neutralized: shard 0's left halo becomes front pads (key1 = -1,
      lcp 0 — the narrow path's bucket-pad semantics), the last shard's
      right halo gets lcp = -1 so intervals still open at the global end

@@ -158,3 +158,21 @@ def test_ambiguous_bases_match_oracle(rng):
     got = engine.find_matches(rb, opts).output_bytes()
     assert want == got
     assert want
+
+
+def test_large_cap_walk_analyzer_oracle(rng):
+    """Interval size caps past the seq-shard limit (here F=5000 -> cap
+    8192, a 13-level guarded walk) still run single-device — the
+    reference's envelope is 65535 docs / unbounded F (pfp_mum.hpp:35-36).
+    Byte-equal to the oracle, matches guaranteed by a planted repeat."""
+    rep = rand_seq(rng, 60)
+    docs = mutated_collection(rng, 3, base_len=2000, insert_rep=rep)
+    rb = refbuilder.build_from_sequences(docs)
+    opts = options.normalize(rb.num_docs, rare_freq=0, max_mem_freq=5000,
+                             quiet=True)
+    assert engine.interval_size_cap(opts, rb.num_docs) == 8192
+    # the cap must be SMALLER than the padded row space, else the
+    # analyzer legitimately takes the uncapped full-table path
+    assert rb.text.size > 8192
+    out = _assert_equal(rb, opts)
+    assert out
