@@ -205,10 +205,8 @@ def _find_matches_inner(rb, opts, backend, pfp_w, pfp_mod, parse_prefix,
     if opts.mum_mode:
         W = rb.num_docs  # distinct docs => window size <= N
         M = ops_pipeline.bucket(n_emit)
-        s, e, L, w_sa, w_da = (
-            np.asarray(x)
-            for x in ops_pipeline.compact_windows_mum(res, n, M, W,
-                                                      rb.num_docs))
+        s, e, L, w_sa, w_da = ops_pipeline.fetch_packed(
+            *ops_pipeline.compact_windows_mum(res, n, M, W, rb.num_docs))
         phase("compact_readback")
         m = n_emit
         valid = (s[:m, None] + np.arange(W)) < e[:m, None]
@@ -218,14 +216,12 @@ def _find_matches_inner(rb, opts, backend, pfp_w, pfp_mod, parse_prefix,
         phase("emit_mums")
     else:
         M = ops_pipeline.bucket(n_emit)
-        _, s0, e0, _, real0 = (np.asarray(x) for x in
-                               ops_pipeline.compact_fields(res, n, M))
+        _, s0, e0, _, _real0 = ops_pipeline.compact_fields(res, n, M)
+        s0, e0 = ops_pipeline.fetch_packed(s0, e0)
         maxw = int((e0[:n_emit] - s0[:n_emit]).max()) if n_emit else 1
         W = ops_pipeline.bucket(maxw, lo=8)
-        s, e, L, w_sa, w_da, w_prev = (
-            np.asarray(x)
-            for x in ops_pipeline.compact_windows_mem(res, n, M, W,
-                                                      rb.num_docs))
+        s, e, L, w_sa, w_da, w_prev = ops_pipeline.fetch_packed(
+            *ops_pipeline.compact_windows_mem(res, n, M, W, rb.num_docs))
         m = n_emit
         valid = (s[:m, None] + np.arange(W)) < e[:m, None]
         w_da = w_da.astype(np.int32)
@@ -242,9 +238,8 @@ def _find_matches_inner(rb, opts, backend, pfp_w, pfp_mod, parse_prefix,
     if opts.merge:
         Wc = rb.num_docs
         Mc = ops_pipeline.bucket(n_cand)
-        has0, sa_first0, prev_ctx, next_ctx = (
-            np.asarray(x) for x in
-            ops_pipeline.compact_cand_thresh(res, n, Mc, Wc))
+        has0, sa_first0, prev_ctx, next_ctx = ops_pipeline.fetch_packed(
+            *ops_pipeline.compact_cand_thresh(res, n, Mc, Wc))
         _merge_thresholds(results, has0[:n_cand], sa_first0[:n_cand],
                           prev_ctx[:n_cand], next_ctx[:n_cand],
                           doc_offsets, doc_lens)

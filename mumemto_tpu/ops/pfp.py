@@ -275,9 +275,19 @@ def seed_thresholds(alpha):
 
 def _alphabet(bytes_np: np.ndarray) -> tuple:
     """Sorted distinct byte values via a presence mask (np.bincount on
-    uint8 is ~100x slower in this numpy build)."""
+    uint8 is ~100x slower in this numpy build). The scatter runs over a
+    uint16 VIEW — half the elements, into a 64 KB L1-resident table —
+    then folds pair presence back to byte presence."""
+    bytes_np = np.ascontiguousarray(bytes_np)
+    even = bytes_np[:bytes_np.size & ~1]
+    present16 = np.zeros(65536, np.bool_)
+    present16[even.view(np.uint16)] = True
+    pairs = np.flatnonzero(present16)
     present = np.zeros(256, np.bool_)
-    present[bytes_np] = True
+    present[pairs & 255] = True    # low byte (little-endian first char)
+    present[pairs >> 8] = True     # high byte
+    if bytes_np.size & 1:
+        present[bytes_np[-1]] = True
     return tuple(np.flatnonzero(present).tolist())
 
 
@@ -408,10 +418,16 @@ def _dict_index(ext, phrase_st, phrase_ln, d_starts, npz, total,
         d, nd, packed_init=True, max_lvl=lvl_cap, alpha_thresholds=seed_thr)
     if seed_thr is not None:
         # canonical <= 8-letter alphabet: PLCP/irreducible-LCP path (~3
-        # O(nd) random passes instead of ~16 — see _lcp_plcp_impl)
+        # O(nd) random passes instead of ~16 — see _lcp_plcp_impl).
+        # deep_cap nd//3: SNP-pangenome dictionaries keep whole variant
+        # phrases, so irreducible suffixes share ~phrase-length prefixes
+        # and the 9-char probe saturates on ~23% of rows at the 8 Mbp
+        # bench shape (measured on-chip 2026-08-19) — nd//8 silently sent
+        # that shape to the full-width lax.cond fallback, costing ~0.9 s
+        # vs ~0.3 s for the compacted descent at nd//3.
         lcpD, isaD = ops_suffix._lcp_plcp_impl(
             saD, histD, d, nd, lvl_static, seed_thr,
-            deep_cap=max(nd // 8, 1024))
+            deep_cap=max(nd // 3, 1024))
     else:
         lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd,
                                     levels=lvl_static, text=d,
@@ -454,8 +470,10 @@ def _dict_groups(d, saD, lcpD, pos_meta, nd: int, w: int):
     grp_cross = jnp.zeros((nd,), jnp.int32).at[
         jnp.where(new_group, grp_of_row, nd)].set(cross, mode="drop")
     grp_cross = grp_cross.at[0].set(0)
-    grp_of_pos = jnp.full((nd,), -1, jnp.int32).at[
-        jnp.where(valid, saD, nd)].set(grp_of_row, mode="drop")
+    # saD is a permutation, so the masked scatter is a routing pass:
+    # every target is written exactly once, invalid rows carry -1
+    grp_of_pos = ops_suffix.route_set(
+        saD, jnp.where(valid, grp_of_row, -1))
     return grp_of_pos, grp_cross
 
 

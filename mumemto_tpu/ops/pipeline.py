@@ -175,6 +175,53 @@ def compact_cand_thresh(res, n: int, M: int, W: int):
     return has0 & real, w_sa_first0, prev_ctx, next_ctx
 
 
+@jax.jit
+def _pack_u8(*arrs):
+    parts = []
+    for a in arrs:
+        flat = a.reshape(-1)
+        if flat.dtype != jnp.uint8:
+            flat = jax.lax.bitcast_convert_type(flat, jnp.uint8)
+        parts.append(flat.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def fetch_packed(*arrs):
+    """ONE device->host transfer for several device arrays.
+
+    Naive np.asarray per array costs one synchronous round-trip each; on
+    the tunneled device a round-trip is ~60 ms regardless of payload, so
+    the compaction readbacks (5-11 small arrays) were RTT-bound, not
+    byte-bound. This bitcasts every array to a flat uint8 payload on
+    device, concatenates, transfers ONCE, and re-views the segments on
+    host (bool arrays round-trip as uint8 and are re-viewed as bool).
+
+    Returns a list of np.ndarrays matching the inputs' dtypes/shapes."""
+    import numpy as np
+    metas = []
+    conv = []
+    for a in arrs:
+        dt = np.dtype(a.dtype)
+        if dt == np.bool_:
+            a = a.astype(jnp.uint8)
+        metas.append((dt, a.shape))
+        conv.append(a)
+    flat = np.asarray(_pack_u8(*conv))
+    out = []
+    off = 0
+    for dt, sh in metas:
+        nb = int(dt.itemsize * int(np.prod(sh, dtype=np.int64)))
+        seg = flat[off:off + nb]
+        if dt == np.bool_:
+            out.append(seg.view(np.uint8).astype(np.bool_).reshape(sh))
+        else:
+            # 1D uint8 slices may start misaligned for wider dtypes;
+            # frombuffer over a private copy keeps the view legal
+            out.append(np.frombuffer(seg.tobytes(), dtype=dt).reshape(sh))
+        off += nb
+    return out
+
+
 def bucket(m: int, lo: int = 256) -> int:
     """0.75/1.0-of-power-of-two bucket for compaction sizes (tighter than
     pure powers of two: the padding rows are readback waste)."""

@@ -36,17 +36,18 @@ def route_set(target_idx: jax.Array, *values: jax.Array):
     phi/isa construction.
 
     Two byte-identical lowerings, switched at TRACE time by
-    MUMEMTO_SORT_ROUTE=1 (prewarm both before flipping mid-process — jit
+    MUMEMTO_SORT_ROUTE (prewarm both before flipping mid-process — jit
     caches keep the traced choice):
-      * scatter (default): one .at[perm].set per value — a random O(n)
-        store pass each (~9 ns/element on the tunneled v5e).
-      * sort-route: ONE lax.sort keyed on target_idx carrying all values
-        (the sort unit measured ~2x cheaper per element than the gather/
-        scatter unit, and k values share one pass).
-    A/B microbench: tools/route_ab_tpu.py (run on hardware before
-    flipping any default)."""
+      * sort-route (default): ONE lax.sort keyed on target_idx carrying
+        all values — the v5e sort unit measured 1.6-1.8x cheaper per
+        element than the scatter unit at every doubling-round shape
+        (tools/route_ab_tpu.py, 2026-08-19: 137.8 -> 74.3 ms at n=2^24),
+        and k values share one pass. End-to-end: 8 Mbp bench 3.81 ->
+        3.67 s (dict_index 2.00 -> 1.74 s).
+      * scatter (MUMEMTO_SORT_ROUTE=0): one .at[perm].set per value — a
+        random O(n) store pass each (~9 ns/element on the tunneled v5e)."""
     n = target_idx.shape[0]
-    if os.environ.get("MUMEMTO_SORT_ROUTE") == "1":
+    if os.environ.get("MUMEMTO_SORT_ROUTE", "1") != "0":
         out = jax.lax.sort((target_idx, *values), num_keys=1)
         return out[1] if len(values) == 1 else out[1:]
     outs = tuple(
@@ -377,7 +378,9 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
         nx = jnp.flip(jax.lax.cummin(
             jnp.flip(jnp.where(irr, idx, n))))
         plcp = jnp.take(plcp0, jnp.minimum(nx, n - 1)) + (nx - idx)
-        return jnp.take(plcp, sa).at[0].set(0)
+        # plcp -> SA order via isa (the inverse permutation is in hand,
+        # so the gather by sa is a routing pass: out[isa[i]] = plcp[i])
+        return route_set(isa, plcp).at[0].set(0)
 
     def slow(_):
         # classic full-width descent (the _lcp_impl fallback)

@@ -184,26 +184,27 @@ def test_thresh_arrays_zero_length_mums():
 def test_emit_speed_1e5_matches():
     """VERDICT r3 item 4 'done' bar: a 10^5-match set emits in < 2 s of
     host time (was minutes-class with per-match Python loops at chr
-    scale)."""
+    scale). Measured in process CPU time so concurrent test workers or a
+    busy host cannot flake the bound (it did under xdist -n 4)."""
     rng = np.random.default_rng(3)
     m, num_docs = 100_000, 8
     s, e, L, w_sa, w_da, valid, doc_offsets, doc_lens = \
         synth_mem_windows(m, num_docs, rng, W=8)
     opts = MatchOptions(max_doc_freq=3)
     res = engine.MatchResults(opts=opts, num_docs=num_docs)
-    t0 = time.time()
+    t0 = time.process_time()
     engine._emit_mems(res, s, e, L, w_sa, w_da, valid, opts,
                       doc_offsets, doc_lens)
-    t_mem = time.time() - t0
+    t_mem = time.process_time() - t0
     assert len(res.mem_lines) == m
 
     lengths, offsets, strands = synth_mums(m, num_docs, rng)
     res2 = engine.MatchResults(opts=MatchOptions(), num_docs=num_docs,
                                lengths=lengths, offsets=offsets,
                                strands=strands)
-    t0 = time.time()
+    t0 = time.process_time()
     lines = res2.mum_lines()
-    t_mum = time.time() - t0
+    t_mum = time.process_time() - t0
     assert len(lines) == m
 
     doc_len0 = 40_000_000
@@ -214,9 +215,9 @@ def test_emit_speed_1e5_matches():
         mum_positions=np.stack([pos, mlen], axis=1),
         candidate_thresh=rng.integers(
             0, 300, 2 * doc_len0).astype(np.uint16))
-    t0 = time.time()
+    t0 = time.process_time()
     engine.thresh_arrays(res3, doc_len0)
-    t_thresh = time.time() - t0
+    t_thresh = time.process_time() - t0
 
     assert t_mem < 2.0, f"_emit_mems {t_mem:.2f}s at 1e5 matches"
     assert t_mum < 2.0, f"mum_lines {t_mum:.2f}s at 1e5 matches"

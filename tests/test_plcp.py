@@ -47,7 +47,7 @@ def _check(docs, deep_cap=None):
     rb = refbuilder.build_from_sequences(docs)
     pfp = ops_pfp.build_pfp(rb.text, w=10, mod=100)
     h = ops_pfp._host_prep(pfp, rb.doc_ends, rb.num_docs)
-    cap = deep_cap if deep_cap is not None else max(h["nd"] // 8, 1024)
+    cap = deep_cap if deep_cap is not None else max(h["nd"] // 3, 1024)
     old, new, saD, isa = _both_lcps(
         pfp.ext, h["phrase_st"], h["phrase_ln"], h["d_starts"],
         h["npz"], h["total_real"], h["nd"], h["ne"], h["w"],

@@ -1,7 +1,7 @@
-"""MUMEMTO_SORT_ROUTE=1 (sort-route permutation scatter, the queued TPU
-perf lever — ops/suffix.route_set) is byte-identical to the default
-scatter lowering, end to end. The flag is read at TRACE time, so the
-routed run happens in a subprocess with the env set."""
+"""The two route_set lowerings (ops/suffix.route_set) are byte-identical
+end to end: sort-route (the default since the 2026-08-19 hardware A/B)
+vs MUMEMTO_SORT_ROUTE=0 scatter. The flag is read at TRACE time, so each
+run happens in a subprocess with the env set."""
 
 import os
 import subprocess

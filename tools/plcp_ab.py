@@ -39,7 +39,7 @@ def run(ext, phrase_st, phrase_ln, d_starts, npz, total, which):
     if which == "plcp":
         lcp, isa = ops_suffix._lcp_plcp_impl(
             saD, histD, d, nd, h["lvl_static"], h["seed_thr"],
-            deep_cap=max(nd // 8, 1024))
+            deep_cap=max(nd // 3, 1024))
     else:
         lcp = ops_suffix._lcp_impl(saD, histD, lvlD, nd,
                                    levels=h["lvl_static"], text=d,
