@@ -797,46 +797,60 @@ def _expand_and_analyze(parse, d_starts, cumcnt,
         (= r pre-sort), rides through the sort packed into the ssa operand
         when the bit budget allows (replaces a post-sort searchsorted).
     """
+    grp_tab = _grp_tab(d, grp_of_pos, grp_cross, nd)
     ops = _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text,
-                           isaP, grp_of_pos, d, doc_ends, nr, nd, w,
+                           isaP, grp_tab, doc_ends, nr, nd, w,
                            num_docs, lvl_cap)
     sorted_ops = jax.lax.sort(ops, num_keys=2)
-    return _analyze_sorted(sorted_ops, slt_table, grp_cross, nr, nd, w,
+    return _analyze_sorted(sorted_ops, slt_table, nr, nd, w,
                            num_docs, lvl_cap, min_match_len, num_distinct,
                            max_total_freq, max_doc_freq, size_cap, need_ctx)
 
 
 def _pack_da_mode(nr: int, nd: int, num_docs: int, suf_bits: int):
-    """(pack_table, pack_ops, da_bits): packing tiers for the expansion.
+    """(pack_cross, pack_ops, da_bits): packing modes for the expansion.
 
     pack_ops: (ssa, da) and (suf_len, bwt) pack into single int32 sort
-    operands (4-operand sort instead of 6); requires suf_len < 2^24,
+    operands (4/5-operand sort instead of 6/7); requires suf_len < 2^24,
     guaranteed via suf_bits (= lvl_cap: maxlen < 2^lvl_cap).
-    pack_table: additionally (group id, prev char) pack into ONE gather
-    table — "i32" while group ids fit 24 bits, "u32" up to 25 bits
-    (chars use 7 bits; real rows always hit valid groups >= 0, and pad
-    rows' key1 is overridden to -1 after the unpack, so the unsigned
-    tier never needs the arithmetic-shift sign trick)."""
+    pack_cross: additionally the per-row cross-group LCP (< 2^lvl_cap by
+    the descent clamp) packs into the sufbwt operand — no extra sort
+    operand at all. Needs 2*suf_bits + 7 <= 31.
+
+    The (group, prev char, cross) table lookup itself is ONE (nd, 3)
+    row-gather at every nd (the v5e fetches a whole row per index at the
+    cost of a 1-column gather — measured 127 vs 169 ms at nr = 2^24, vs
+    3 x 169 ms for separate column gathers), so the historical 24/25-bit
+    packed-table tiers are gone: no shape falls off the one-gather path
+    any more (the 32 Mbp nd = 25.2M tier included)."""
     da_bits = max(int(num_docs).bit_length(), 1)
     pack_ops = (nr << da_bits) < (1 << 31) and suf_bits + 7 <= 31
-    if not pack_ops:
-        pack_table = None
-    elif nd < (1 << 24):
-        pack_table = "i32"
-    elif nd < (1 << 25):
-        pack_table = "u32"
-    else:
-        pack_table = None
-    return pack_table, pack_ops, da_bits
+    pack_cross = pack_ops and 2 * suf_bits + 7 <= 31
+    return pack_cross, pack_ops, da_bits
+
+
+@functools.partial(jax.jit, static_argnames=("nd",))
+def _grp_tab(d, grp_of_pos, grp_cross, nd: int):
+    """(nd, 3) int32 expansion lookup table, one row per dict position:
+    col 0 group id (-1 invalid), col 1 previous dict char (the BWT char
+    of rows at this position), col 2 the group's cross-group LCP. Built
+    with ONE O(nd) gather (grp_cross by group id); consumed by ONE O(nr)
+    row-gather in _expand_operands."""
+    prev_d = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              d[:-1].astype(jnp.int32)])
+    cross_of_pos = jnp.take(grp_cross,
+                            jnp.clip(grp_of_pos, 0, grp_cross.shape[0] - 1))
+    return jnp.stack([grp_of_pos, prev_d, cross_of_pos], axis=1)
 
 
 def _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
-                     grp_of_pos, d, doc_ends, nr: int, nd: int, w: int,
+                     grp_tab, doc_ends, nr: int, nd: int, w: int,
                      num_docs: int, lvl_cap: int):
     """Build the expansion-sort operand tuple (first two are the keys).
-    Everything is scans/scatters/slices except ONE O(nr) gather into the
-    packed (group, prev char) table. Separated from the sort + analysis so
-    the seq-sharded path can run the same code around a distributed sort."""
+    Everything is scans/scatters/slices except ONE O(nr) row-gather into
+    the (nd, 3) (group, prev char, cross) table (_grp_tab). Separated from
+    the sort + analysis so the seq-sharded path can run the same code
+    around a distributed sort."""
     r = jnp.arange(nr, dtype=jnp.int32)
     mp1 = cumcnt.shape[0]
     slots = jnp.arange(mp1 - 1, dtype=jnp.int32)
@@ -862,58 +876,47 @@ def _expand_operands(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
         jnp.cumsum(jnp.zeros((nr,), jnp.int32).at[ends_idx].add(1)),
         num_docs)
 
-    pack_table, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs, lvl_cap)
-    if pack_table is not None:
-        # pack (group id, previous dict char) into one table: one O(nr)
-        # gather instead of two, and (suf_len, bwt) / (ssa, da) into
-        # single sort operands. The u32 tier covers nd up to 2^25
-        # (VERDICT r2 item 2: the 32 Mbp shape fell off this fast path).
-        if pack_table == "u32":
-            prev_d = jnp.concatenate([jnp.zeros((1,), jnp.uint32),
-                                      d[:-1].astype(jnp.uint32)])
-            grp_prev = (grp_of_pos.astype(jnp.uint32) << 7) | prev_d
-            packed = jnp.take(grp_prev, jnp.clip(dictpos, 0, nd - 1))
-            key1 = jnp.where(pad, -1, (packed >> 7).astype(jnp.int32))
-            bwt = jnp.where(pad, 0, (packed & 127).astype(jnp.int32))
-        else:
-            prev_d = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                      d[:-1].astype(jnp.int32)])
-            grp_prev = (grp_of_pos << 7) | prev_d
-            packed = jnp.take(grp_prev, jnp.clip(dictpos, 0, nd - 1))
-            key1 = jnp.where(pad, -1, packed >> 7)
-            bwt = jnp.where(pad, 0, packed & 127)
-        sufbwt = jnp.where(pad, 0, (suf_len << 7) | bwt)
-        ssada = (ssa << da_bits) | da_by_pos
-        return key1, key2, ssada, sufbwt
-    key1 = jnp.where(pad, -1,
-                     jnp.take(grp_of_pos, jnp.clip(dictpos, 0, nd - 1)))
-    bwt = jnp.where(pad, 0,
-                    jnp.take(d, jnp.clip(dictpos - 1, 0, nd - 1)
-                             ).astype(jnp.int32))
+    pack_cross, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs, lvl_cap)
+    # THE gather of this side: one (nd, 3) row fetch per row — group id,
+    # previous dict char (the row's BWT char), and the group's cross LCP
+    g = jnp.take(grp_tab, jnp.clip(dictpos, 0, nd - 1), axis=0)
+    key1 = jnp.where(pad, -1, g[:, 0])
+    bwt = jnp.where(pad, 0, g[:, 1])
+    crossv = jnp.where(pad, 0, g[:, 2])
     if pack_ops:
-        # large-dict middle tier (nd >= 2^24): two table gathers, but
-        # still a 4-operand sort
-        sufbwt = jnp.where(pad, 0, (suf_len << 7) | bwt)
         ssada = (ssa << da_bits) | da_by_pos
-        return key1, key2, ssada, sufbwt
-    return key1, key2, ssa, suf_len, bwt, da_by_pos
+        if pack_cross:
+            # cross < 2^lvl_cap (descent clamp) rides inside sufbwt
+            sufbwt = jnp.where(
+                pad, 0, (((suf_len << 7) | bwt) << lvl_cap) | crossv)
+            return key1, key2, ssada, sufbwt
+        sufbwt = jnp.where(pad, 0, (suf_len << 7) | bwt)
+        return key1, key2, ssada, sufbwt, crossv
+    return key1, key2, ssa, suf_len, bwt, da_by_pos, crossv
 
 
-def _analyze_sorted(sorted_ops, slt_table, grp_cross, nr: int, nd: int,
+def _analyze_sorted(sorted_ops, slt_table, nr: int, nd: int,
                     w: int, num_docs: int, lvl_cap: int, min_match_len,
                     num_distinct, max_total_freq, max_doc_freq: int,
                     size_cap: int | None, need_ctx: bool):
-    """Post-sort: per-row LCP from the PFP tables + interval analysis."""
-    _pack_table, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs,
-                                                   lvl_cap)
+    """Post-sort: per-row LCP from the PFP tables + interval analysis.
+    The cross-group LCP arrives THROUGH the sort (packed into sufbwt or
+    as its own operand) — no post-sort table gather."""
+    pack_cross, pack_ops, da_bits = _pack_da_mode(nr, nd, num_docs,
+                                                  lvl_cap)
     if pack_ops:
-        key1s, key2s, ssadas, sufbwts = sorted_ops
+        if pack_cross:
+            key1s, key2s, ssadas, sufbwts = sorted_ops
+            cross = sufbwts & ((1 << lvl_cap) - 1)
+            sufbwts = sufbwts >> lvl_cap
+        else:
+            key1s, key2s, ssadas, sufbwts, cross = sorted_ops
         ssas = ssadas >> da_bits
         da = ssadas & ((1 << da_bits) - 1)
         sufs = sufbwts >> 7
         bwts = sufbwts & 127
     else:
-        key1s, key2s, ssas, sufs, bwts, da = sorted_ops
+        key1s, key2s, ssas, sufs, bwts, da, cross = sorted_ops
 
     same_grp = jnp.concatenate([
         jnp.zeros((1,), bool), key1s[1:] == key1s[:-1]])
@@ -921,7 +924,6 @@ def _analyze_sorted(sorted_ops, slt_table, grp_cross, nr: int, nd: int,
     within = sufs - w + _rmq_query(slt_table,
                                    jnp.minimum(prev_key2, key2s) + 1,
                                    jnp.maximum(prev_key2, key2s))
-    cross = jnp.take(grp_cross, jnp.clip(key1s, 0, grp_cross.shape[0] - 1))
     lcp = jnp.where(same_grp, within, cross)
     lcp = jnp.where(key1s < 0, 0, lcp).astype(jnp.int32)
     lcp = lcp.at[0].set(0)

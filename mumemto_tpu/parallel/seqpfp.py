@@ -208,9 +208,10 @@ def compile_seq_pfp_step(mesh, axis: str, nr: int, nd: int, w: int,
     def step(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
              grp_of_pos, d, slt_table, grp_cross, doc_ends,
              min_match_len, num_distinct, max_total_freq):
+        grp_tab = ops_pfp._grp_tab(d, grp_of_pos, grp_cross, nd)
         ops = ops_pfp._expand_operands(
             parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
-            grp_of_pos, d, doc_ends, nr, nd, w, num_docs, lvl_cap)
+            grp_tab, doc_ends, nr, nd, w, num_docs, lvl_cap)
         ops = tuple(jax.lax.with_sharding_constraint(a, row_sh)
                     for a in ops)
         sorted_ops = jax.shard_map(
@@ -219,7 +220,7 @@ def compile_seq_pfp_step(mesh, axis: str, nr: int, nd: int, w: int,
             mesh=mesh, in_specs=(spec1,) * len(ops),
             out_specs=(spec1,) * len(ops))(*ops)
         res, counts = ops_pfp._analyze_sorted(
-            sorted_ops, slt_table, grp_cross, nr, nd, w, num_docs, lvl_cap,
+            sorted_ops, slt_table, nr, nd, w, num_docs, lvl_cap,
             min_match_len, num_distinct, max_total_freq, max_doc_freq,
             size_cap=size_cap, need_ctx=need_ctx)
         local = {k: jax.lax.with_sharding_constraint(res[k], row_sh)

@@ -109,17 +109,22 @@ def _block_fill(vals, loc, j0p, B: int, dtype):
 
 
 def _block_operands(base, parse, d_starts, cumcnt, m, total_rows, n_text,
-                    isaP, grp_of_pos, d, doc_ends,
-                    B: int, nd: int, w: int, num_docs: int):
+                    isaP, grp_tab, doc_ends,
+                    B: int, nd: int, w: int, num_docs: int,
+                    lvl_cap: int, pack_cross: bool):
     """Expansion operands for global rows [base, base + B), uint32 global
     coordinates (ops/pfp._expand_operands with an explicit block base;
     same structural identities, same pad convention).
 
-    Returns (key1 i32, key2 i32, ssa u32, sufbwt i32, da i32): key1/key2
-    are the sort keys; ssa is the uint32 text position (= global row id,
-    the r == ssa tiling identity); sufbwt packs (suffix length, bwt char);
-    da is the doc id. Pads (global row >= total_rows) get key1 = -1 and
-    sort to the global front exactly like the narrow path."""
+    Returns (key1 i32, key2 i32, ssa u32, sufbwt i32, da i32[, cross]):
+    key1/key2 are the sort keys; ssa is the uint32 text position (= global
+    row id, the r == ssa tiling identity); sufbwt packs (suffix length,
+    bwt char[, cross-group LCP when pack_cross]); da is the doc id; the
+    cross LCP rides as its own operand when the sufbwt bit budget can't
+    hold it. grp_tab: the (nd, 3) (group, prev char, cross) table
+    (ops/pfp._grp_tab) — ONE row-gather per row. Pads (global row >=
+    total_rows) get key1 = -1 and sort to the global front exactly like
+    the narrow path."""
     r = jnp.arange(B, dtype=jnp.int32)
     gr = base + r.astype(U32)
     mp1 = cumcnt.shape[0]
@@ -164,13 +169,18 @@ def _block_operands(base, parse, d_starts, cumcnt, m, total_rows, n_text,
         num_docs)
 
     pad = gr >= total_rows
-    key1 = jnp.where(pad, -1,
-                     jnp.take(grp_of_pos, jnp.clip(dictpos, 0, nd - 1)))
-    bwt = jnp.take(d, jnp.clip(dictpos - 1, 0, nd - 1)).astype(jnp.int32)
-    sufbwt = jnp.where(pad, 0, (suf_len << 7) | bwt)
+    g = jnp.take(grp_tab, jnp.clip(dictpos, 0, nd - 1), axis=0)
+    key1 = jnp.where(pad, -1, g[:, 0])
+    bwt = jnp.where(pad, 0, g[:, 1])
+    crossv = jnp.where(pad, 0, g[:, 2])
     key2 = jnp.where(pad, 0, key2)
     ssa = jnp.minimum(gr, n_text)
-    return key1, key2, ssa, sufbwt, da
+    if pack_cross:
+        sufbwt = jnp.where(
+            pad, 0, (((suf_len << 7) | bwt) << lvl_cap) | crossv)
+        return key1, key2, ssa, sufbwt, da
+    sufbwt = jnp.where(pad, 0, (suf_len << 7) | bwt)
+    return key1, key2, ssa, sufbwt, da, crossv
 
 
 # ---------------------------------------------------------------------------
@@ -195,19 +205,26 @@ def _exchange_halos(ops, H: int, axis: str, nshards: int):
     return tuple(out)
 
 
-def _analyze_block(sorted_ops, slt_table, grp_cross, i, B: int, H: int,
+def _analyze_block(sorted_ops, slt_table, i, B: int, H: int,
                    nshards: int, w: int, num_docs: int,
                    min_match_len, num_distinct, max_total_freq,
                    max_doc_freq: int, size_cap: int, need_ctx: bool,
-                   axis: str):
+                   axis: str, lvl_cap: int, pack_cross: bool):
     """Per-shard LCP + windowed interval analysis on the haloed block
     (local pad coordinates 0..B+2H). Mirrors ops/pfp._analyze_sorted's
-    unpacked tier + ops/intervals windowed path; edge-halo neutralization
-    makes the local computation equal the global one for every boundary
-    owned by this shard (see module docstring)."""
+    windowed path (cross LCP arrives through the sort, no post-sort
+    gather); edge-halo neutralization makes the local computation equal
+    the global one for every boundary owned by this shard (see module
+    docstring)."""
     B2 = B + 2 * H
-    key1, key2, ssa, sufbwt, da = _exchange_halos(
-        sorted_ops, H, axis, nshards)
+    if pack_cross:
+        key1, key2, ssa, sufbwt, da = _exchange_halos(
+            sorted_ops, H, axis, nshards)
+        cross = sufbwt & ((1 << lvl_cap) - 1)
+        sufbwt = sufbwt >> lvl_cap
+    else:
+        key1, key2, ssa, sufbwt, da, cross = _exchange_halos(
+            sorted_ops, H, axis, nshards)
     pos = jnp.arange(B2, dtype=jnp.int32)
     # shard 0's left halo = front pads; analysis treats key1 < 0 rows as
     # inert exactly like the narrow path's bucket pads
@@ -222,7 +239,6 @@ def _analyze_block(sorted_ops, slt_table, grp_cross, i, B: int, H: int,
     within = sufs - w + ops_pfp._rmq_query(
         slt_table, jnp.minimum(prev_key2, key2) + 1,
         jnp.maximum(prev_key2, key2))
-    cross = jnp.take(grp_cross, jnp.clip(key1, 0, grp_cross.shape[0] - 1))
     lcp = jnp.where(same_grp, within, cross)
     lcp = jnp.where(key1 < 0, 0, lcp).astype(jnp.int32)
     # the global first row's lcp is 0 (narrow: lcp.at[0].set(0)); with
@@ -318,8 +334,14 @@ def _compact_block(res, ssa_pad, da_pad, base, B: int, H: int, M: int,
 
 def compile_wide_step(mesh, axis: str, nr: int, nd: int, w: int,
                       num_docs: int, max_doc_freq: int, size_cap: int,
-                      need_ctx: bool, M: int, mem_mode: bool):
-    """jit the wide-coordinate sharded scan (stages A-D, one shard_map)."""
+                      need_ctx: bool, M: int, mem_mode: bool,
+                      lvl_cap: int = 24):
+    """jit the wide-coordinate sharded scan (stages A-D, one shard_map).
+    lvl_cap: static suffix-length bit width (< 2^lvl_cap); when
+    2*lvl_cap + 7 <= 31 the cross LCP packs into the sufbwt operand,
+    otherwise it rides as its own sort operand (same fallback as the
+    narrow path's _pack_da_mode). The default 24 forces the own-operand
+    path for callers that don't pass it."""
     nshards = int(mesh.shape[axis])
     assert nshards & (nshards - 1) == 0, "seq axis must be a power of two"
     assert nr % nshards == 0, "row bucket must divide the shard count"
@@ -333,21 +355,23 @@ def compile_wide_step(mesh, axis: str, nr: int, nd: int, w: int,
     assert H <= B, "shard blocks must cover one halo width"
     rep = NamedSharding(mesh, P())
     spec1 = P(axis)
+    pack_cross = 2 * lvl_cap + 7 <= 31
 
     def shard_body(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
-                   grp_of_pos, d, slt_table, grp_cross, doc_ends,
+                   grp_tab, slt_table, doc_ends,
                    min_match_len, num_distinct, max_total_freq):
         i = jax.lax.axis_index(axis)
         base = i.astype(U32) * U32(B)
         ops = _block_operands(base, parse, d_starts, cumcnt, m,
-                              total_rows, n_text, isaP, grp_of_pos, d,
-                              doc_ends, B, nd, w, num_docs)
+                              total_rows, n_text, isaP, grp_tab,
+                              doc_ends, B, nd, w, num_docs,
+                              lvl_cap, pack_cross)
         sorted_ops = _bitonic_block_sort(ops, axis=axis, nshards=nshards,
                                          num_keys=2)
         res, (ssa_pad, da_pad), nruns_local = _analyze_block(
-            sorted_ops, slt_table, grp_cross, i, B, H, nshards, w,
+            sorted_ops, slt_table, i, B, H, nshards, w,
             num_docs, min_match_len, num_distinct, max_total_freq,
-            max_doc_freq, size_cap, need_ctx, axis)
+            max_doc_freq, size_cap, need_ctx, axis, lvl_cap, pack_cross)
         windows = _compact_block(res, ssa_pad, da_pad, base, B, H, M,
                                  num_docs, mem_mode, need_ctx)
         counts = jax.lax.psum(
@@ -356,11 +380,20 @@ def compile_wide_step(mesh, axis: str, nr: int, nd: int, w: int,
                        nruns_local]), axis)
         return counts.at[2].add(1), windows
 
-    meta_specs = (P(),) * 15
+    meta_specs = (P(),) * 13
     step = jax.shard_map(
         shard_body, mesh=mesh, in_specs=meta_specs,
         out_specs=(P(), spec1))
-    return jax.jit(step, out_shardings=(rep, None))
+
+    def full(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
+             grp_of_pos, d, slt_table, grp_cross, doc_ends,
+             min_match_len, num_distinct, max_total_freq):
+        grp_tab = ops_pfp._grp_tab(d, grp_of_pos, grp_cross, nd)
+        return step(parse, d_starts, cumcnt, m, total_rows, n_text, isaP,
+                    grp_tab, slt_table, doc_ends,
+                    min_match_len, num_distinct, max_total_freq)
+
+    return jax.jit(full, out_shardings=(rep, None))
 
 
 def find_matches_wide(rb, opts, mesh, axis: str = "seq",
@@ -408,7 +441,7 @@ def find_matches_wide(rb, opts, mesh, axis: str = "seq",
     step = compile_wide_step(
         mesh, axis, nr, prep["nd"], pfp.w, rb.num_docs,
         opts.max_doc_freq, size_cap, opts.merge, M,
-        mem_mode=not opts.mum_mode)
+        mem_mode=not opts.mum_mode, lvl_cap=prep["lvl_cap"])
     counts, windows = step(
         prep["parse"], prep["d_starts"], prep["cumcnt"], prep["m"],
         prep["total_rows"], prep["n_text"], prep["isaP"],

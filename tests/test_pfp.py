@@ -145,15 +145,18 @@ def test_parse_files_reference_bytes(rng, tmp_path, w, mod):
     assert (pfp.phrase_ln == direct.phrase_ln).all()
 
 
-@pytest.mark.parametrize("tier", ["mid", "unpacked", "u32"])
-def test_pfp_operand_packing_tiers(rng, monkeypatch, tier):
-    """nd >= 2^24 switches to the u32 packed-table tier (one u32 table
-    gather, 4-op sort), nd >= 2^25 to the middle tier (two table gathers),
-    exhausted bit budgets to the 6-operand sort. Force each branch and
-    require byte-equality (at test scale they are otherwise never
-    exercised). Distinct base_len per tier keeps the shape buckets apart
-    so the jit cache cannot serve a stale trace."""
-    base_len = {"mid": 500, "unpacked": 520, "u32": 540}[tier]
+@pytest.mark.parametrize("mode", ["cross_packed", "cross_operand",
+                                  "unpacked"])
+def test_pfp_operand_packing_modes(rng, monkeypatch, mode):
+    """The three expansion operand modes are byte-equal: cross packed into
+    sufbwt (default while 2*lvl_cap+7 <= 31), cross as its own 5th sort
+    operand (big maxlen), and the fully unpacked 7-operand sort (bit
+    budgets exhausted, e.g. huge row spaces). Force each branch and
+    require byte-equality (at test scale the fallbacks are otherwise
+    never exercised). Distinct base_len per mode keeps the shape buckets
+    apart so the jit cache cannot serve a stale trace."""
+    base_len = {"cross_operand": 500, "unpacked": 520,
+                "cross_packed": 540}[mode]
     docs = mutated_collection(rng, 3, base_len=base_len)
     rb = refbuilder.build_from_sequences(docs)
     opts = options.normalize(rb.num_docs, quiet=True)
@@ -162,9 +165,10 @@ def test_pfp_operand_packing_tiers(rng, monkeypatch, tier):
 
     def forced(nr, nd, num_docs, suf_bits):
         bits = real(nr, nd, num_docs, suf_bits)[2]
-        if tier == "u32":
-            return ("u32", True, bits)
-        return (None, tier == "mid", bits)
+        if mode == "cross_packed":
+            assert 2 * suf_bits + 7 <= 31  # the forced pack must be legal
+            return (True, True, bits)
+        return (False, mode == "cross_operand", bits)
 
     monkeypatch.setattr(ops_pfp, "_pack_da_mode", forced)
     got = engine.find_matches(rb, opts, backend="pfp").output_bytes()

@@ -120,15 +120,24 @@ def test_block_operands_past_2_31(rng):
     isaP2 = np.concatenate([[0], k2]).astype(np.int32)
     de2 = (np.asarray(prep["doc_ends"]) + DELTA).astype(np.uint32)
 
+    from mumemto_tpu.ops import pfp as ops_pfp
+    grp_tab = ops_pfp._grp_tab(prep["d"], prep["grp_of_pos"],
+                               prep["grp_cross"], nd)
+    lvl_cap = prep["lvl_cap"]
+    pack_cross = 2 * lvl_cap + 7 <= 31
+    assert pack_cross  # test shape must exercise the packed default
+
     def build(base, parse, cumcnt_, m, total_rows, n_text, isaP_, de):
         f = jax.jit(widepfp._block_operands,
-                    static_argnames=("B", "nd", "w", "num_docs"))
+                    static_argnames=("B", "nd", "w", "num_docs",
+                                     "lvl_cap", "pack_cross"))
         return f(jnp.uint32(base), jnp.asarray(parse),
                  jnp.asarray(d_starts), jnp.asarray(cumcnt_),
                  jnp.int32(m), jnp.uint32(total_rows),
                  jnp.uint32(n_text), jnp.asarray(isaP_),
-                 prep["grp_of_pos"], prep["d"], jnp.asarray(de),
-                 B=B, nd=nd, w=w, num_docs=num_docs)
+                 grp_tab, jnp.asarray(de),
+                 B=B, nd=nd, w=w, num_docs=num_docs,
+                 lvl_cap=lvl_cap, pack_cross=pack_cross)
 
     d_starts = np.asarray(prep["d_starts"])
     m = int(prep["m"])
