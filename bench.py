@@ -33,11 +33,11 @@ import time
 import numpy as np
 
 BASELINE_MBP_S = 2.68  # fallback: measured native/baseline_cpu, this host
-# last live on-chip measurement (BASELINE.md round 2, 2026-08-17): emitted
+# last live on-chip measurement (BASELINE.md round 4, 2026-08-19): emitted
 # with "device": "unavailable" if the tunnel is down for the whole probe
 # window, so the driver always records a parseable artifact (BENCH_r03 was
 # rc=124 / parsed:null after 1504s of in-process init retries)
-LAST_LIVE_MBP_S = 2.129
+LAST_LIVE_MBP_S = 3.044
 
 
 def log(*a):
@@ -198,7 +198,10 @@ def main():
     # — the last live on-chip measurement tagged "device": "unavailable" —
     # so the driver records a parseable artifact instead of rc=124.
     allow_cpu = os.environ.get("MUMEMTO_BENCH_ALLOW_CPU") == "1"
-    deadline = float(os.environ.get("MUMEMTO_BENCH_DEVICE_DEADLINE", 600))
+    # default 1200s: the per-process transfer-channel setup spiked to
+    # 1053s on 2026-08-19 (historical 100-980s) — a 600s window calls a
+    # merely-cold tunnel dead
+    deadline = float(os.environ.get("MUMEMTO_BENCH_DEVICE_DEADLINE", 1200))
     if not allow_cpu and not probe_device(deadline):
         log("[bench] device unavailable for the whole probe window — "
             "emitting last live measurement (BASELINE.md round 2)")

@@ -221,17 +221,26 @@ def _rmq_prepare(values: jax.Array):
 
 
 def _rmq_query(table, lo, hi):
-    """min(values[lo..hi]) inclusive, lo <= hi, vectorized O(1)."""
+    """min(values[lo..hi]) inclusive, lo <= hi, vectorized O(1).
+
+    Lowered as TWO position-major ROW gathers + an in-register one-hot
+    level select: the v5e gather unit fetches a whole (L+1)-column row per
+    index at single-column cost (see _grp_tab), while the level-major
+    stack[lvl, pos] form is an arbitrary 2-coordinate gather. The one-hot
+    select is elementwise VPU work. Non-negative values assumed (LCPs)."""
     n = table[0].shape[0]
+    L1 = len(table)
     length = hi - lo + 1
     lvl = jnp.int32(jnp.log2(jnp.maximum(length, 1).astype(jnp.float32)))
     lvl = jnp.where((jnp.int32(1) << lvl) > length, lvl - 1, lvl)
-    lvl = jnp.clip(lvl, 0, len(table) - 1)
+    lvl = jnp.clip(lvl, 0, L1 - 1)
     width = jnp.int32(1) << lvl
-    stack = jnp.stack([t for t in table])  # (L+1, n)
-    a = stack[lvl, jnp.clip(lo, 0, n - 1)]
-    b = stack[lvl, jnp.clip(hi - width + 1, 0, n - 1)]
-    return jnp.minimum(a, b)
+    stack_t = jnp.stack([t for t in table], axis=1)  # (n, L+1) rows
+    rowa = jnp.take(stack_t, jnp.clip(lo, 0, n - 1), axis=0)
+    rowb = jnp.take(stack_t, jnp.clip(hi - width + 1, 0, n - 1), axis=0)
+    pair = jnp.minimum(rowa, rowb)  # per-level candidate mins
+    onehot = jnp.arange(L1, dtype=jnp.int32)[None, :] == lvl[:, None]
+    return jnp.max(jnp.where(onehot, pair, -1), axis=1)
 
 
 # ---------------------------------------------------------------------------
