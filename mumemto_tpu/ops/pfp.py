@@ -223,11 +223,18 @@ def _rmq_prepare(values: jax.Array):
 def _rmq_query(table, lo, hi):
     """min(values[lo..hi]) inclusive, lo <= hi, vectorized O(1).
 
-    Lowered as TWO position-major ROW gathers + an in-register one-hot
-    level select: the v5e gather unit fetches a whole (L+1)-column row per
-    index at single-column cost (see _grp_tab), while the level-major
-    stack[lvl, pos] form is an arbitrary 2-coordinate gather. The one-hot
-    select is elementwise VPU work. Non-negative values assumed (LCPs)."""
+    Lowered as TWO 1-D gathers into a position-major FLAT copy of the
+    sparse table (flat index pos*L1 + lvl): one element fetched per
+    query, so the temporaries are exactly query-sized s32 vectors.
+
+    The round-4 variant fetched whole (L+1)-column rows per index —
+    but XLA tiles a 2-D (m, L+1) gather output as T(8,128), padding the
+    19-level minor dim to 128: at m = 16.7M bench rows that is TWO 8 GB
+    HLO temps (6.7x padding), which pushed the fused scan program to
+    16.09 GB > 15.75 GB HBM (BENCH_r04 compile OOM). Row fetches are
+    only near-free when the row count is small or the column count is
+    near a tile multiple; a per-query single-element flat gather keeps
+    the position-major locality without the padded intermediate."""
     n = table[0].shape[0]
     L1 = len(table)
     length = hi - lo + 1
@@ -235,12 +242,10 @@ def _rmq_query(table, lo, hi):
     lvl = jnp.where((jnp.int32(1) << lvl) > length, lvl - 1, lvl)
     lvl = jnp.clip(lvl, 0, L1 - 1)
     width = jnp.int32(1) << lvl
-    stack_t = jnp.stack([t for t in table], axis=1)  # (n, L+1) rows
-    rowa = jnp.take(stack_t, jnp.clip(lo, 0, n - 1), axis=0)
-    rowb = jnp.take(stack_t, jnp.clip(hi - width + 1, 0, n - 1), axis=0)
-    pair = jnp.minimum(rowa, rowb)  # per-level candidate mins
-    onehot = jnp.arange(L1, dtype=jnp.int32)[None, :] == lvl[:, None]
-    return jnp.max(jnp.where(onehot, pair, -1), axis=1)
+    flat = jnp.stack([t for t in table], axis=1).reshape(-1)  # pos-major
+    ia = jnp.clip(lo, 0, n - 1) * L1 + lvl
+    ib = jnp.clip(hi - width + 1, 0, n - 1) * L1 + lvl
+    return jnp.minimum(jnp.take(flat, ia), jnp.take(flat, ib))
 
 
 # ---------------------------------------------------------------------------
