@@ -54,46 +54,47 @@ def emit(value: float, baseline: float, **extra):
     }), flush=True)
 
 
-def probe_device(deadline_s: float) -> bool:
-    """Probe TPU availability in SUBPROCESSES with hard timeouts.
+def init_device_bounded(deadline_s: float) -> bool:
+    """Initialize the TPU backend IN-PROCESS under a watchdog deadline.
 
-    A dead tunnel makes in-process backend init block ~25 min inside the
-    plugin's own retries (BENCH_r03: 1504 s before the driver's timeout
-    killed the run with no JSON emitted). A subprocess probe is killable,
-    so the total probe budget is bounded by `deadline_s` regardless of how
-    the plugin misbehaves. Returns True the moment an 8-byte jit round-trip
-    succeeds on a non-CPU device (the tunnel's one-time channel setup has
-    been measured at 100-980 s, hence the generous per-attempt timeout)."""
-    import subprocess
-    t_start = time.time()
-    code = ("import jax, jax.numpy as jnp, numpy as np, sys;"
-            "np.asarray(jax.jit(lambda: jnp.zeros((2,), jnp.int32))());"
-            "sys.exit(0 if jax.devices()[0].platform != 'cpu' else 3)")
-    attempt = 0
-    while True:
-        remaining = deadline_s - (time.time() - t_start)
-        if remaining <= 5:
-            return False
-        attempt += 1
-        t0 = time.time()
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True,
-                               timeout=min(remaining, 1100))
-        except subprocess.TimeoutExpired:
-            log(f"[bench] device probe attempt {attempt}: timed out "
-                f"({time.time() - t0:.0f}s)")
-            continue
-        if r.returncode == 0:
-            log(f"[bench] device probe ok (attempt {attempt}, "
-                f"{time.time() - t0:.0f}s)")
-            return True
-        tail = (r.stderr or "").strip().splitlines()
-        log(f"[bench] device probe attempt {attempt} failed "
-            f"(rc={r.returncode}, {time.time() - t0:.0f}s): "
-            f"{tail[-1][:160] if tail else ''}")
-        if deadline_s - (time.time() - t_start) > 60:
-            time.sleep(30)
+    The one-time transfer-channel setup of this tunneled chip is
+    per-PROCESS (measured 100-1250 s cold): a subprocess probe pays it,
+    and then the bench process pays it AGAIN — on a cold day (2026-08-20:
+    first round-trip > 1100 s) that doubles a ~20-min cost and busts the
+    driver's budget even though the device is healthy. So pay it exactly
+    once, here, in-process. A DEAD tunnel instead wedges backend init in
+    un-interruptible plugin retries (~25 min, BENCH_r03 rc=124); the
+    watchdog thread bounds that by emitting the stale-fallback JSON line
+    and hard-exiting with os._exit (which a stuck C thread can't block).
+    Returns True when an 8-byte jit round-trip succeeds on a non-CPU
+    device; False (or never — watchdog exit) otherwise."""
+    import threading
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(deadline_s):
+            log(f"[bench] device init exceeded {deadline_s:.0f}s deadline "
+                f"— emitting last live measurement and exiting")
+            emit(LAST_LIVE_MBP_S, BASELINE_MBP_S, device="unavailable",
+                 stale=True)
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    t0 = time.time()
+    try:
+        import jax
+        import jax.numpy as jnp
+        np.asarray(jax.jit(lambda: jnp.zeros((2,), jnp.int32))())
+        plat = jax.devices()[0].platform
+    except Exception as e:  # noqa: BLE001 — init failure = unavailable
+        done.set()
+        log(f"[bench] device init failed after {time.time() - t0:.0f}s: "
+            f"{type(e).__name__}: {str(e)[:200]}")
+        return False
+    done.set()
+    log(f"[bench] device init + channel setup: {time.time() - t0:.0f}s "
+        f"(platform {plat})")
+    return plat != "cpu"
 
 
 def run_cpu_baseline(text, seq_lengths, opts, mbp, reps=3):
@@ -192,33 +193,22 @@ def main():
     mbp = total_mbp  # input megabases (fwd strand, the reference's unit)
 
     log(f"[bench] text size {text.size/1e6:.1f} M chars (incl. revcomp)")
-    # Device availability gate, BOUNDED (default 10 min): probe in
-    # killable subprocesses (a dead tunnel blocks in-process init ~25 min
-    # per attempt). If the device never comes up, STILL emit the JSON line
-    # — the last live on-chip measurement tagged "device": "unavailable" —
-    # so the driver records a parseable artifact instead of rc=124.
+    # Device availability gate, BOUNDED: pay the one-time per-process
+    # transfer-channel setup (measured 100-1250 s cold on this tunnel)
+    # exactly once, in-process, under a watchdog deadline. If the device
+    # never comes up, STILL emit the JSON line — the last live on-chip
+    # measurement tagged "device": "unavailable" — so the driver records
+    # a parseable artifact instead of rc=124 (BENCH_r03) / rc=1.
     allow_cpu = os.environ.get("MUMEMTO_BENCH_ALLOW_CPU") == "1"
-    # default 1200s: the per-process transfer-channel setup spiked to
-    # 1053s on 2026-08-19 (historical 100-980s) — a 600s window calls a
-    # merely-cold tunnel dead
-    deadline = float(os.environ.get("MUMEMTO_BENCH_DEVICE_DEADLINE", 1200))
-    if not allow_cpu and not probe_device(deadline):
-        log("[bench] device unavailable for the whole probe window — "
-            "emitting last live measurement (BASELINE.md round 2)")
+    deadline = float(os.environ.get("MUMEMTO_BENCH_DEVICE_DEADLINE", 1500))
+    if not allow_cpu and not init_device_bounded(deadline):
+        log("[bench] device unavailable — emitting last live measurement "
+            "(BASELINE.md round 4)")
         emit(LAST_LIVE_MBP_S, BASELINE_MBP_S, device="unavailable",
              stale=True)
         return
-    # tunnel warmup: the FIRST device->host transfer of a process pays a
-    # one-time multi-minute channel setup on the tunneled device; the probe
-    # above paid it in ITS process, so this one may still be slow — take
-    # the hit on 8 bytes before any timed work.
     import jax
-    import jax.numpy as jnp
-    t0 = time.time()
-    np.asarray(jax.jit(lambda: jnp.zeros((2,), jnp.int32))())
-    log(f"[bench] transfer-channel warmup: {time.time() - t0:.2f}s")
     plat = jax.devices()[0].platform
-    log(f"[bench] device platform: {plat}")
     if plat == "cpu" and not allow_cpu:
         # a TPU outage must fail loudly, not silently record a host-CPU
         # number as the round's device measurement
@@ -264,4 +254,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — the driver needs a JSON line
+        # BENCH_r04 recorded parsed:null because a compile-time HBM OOM
+        # escaped main() before the emit — ANY failure after the device
+        # gate must still produce a parseable artifact. The last live
+        # value is tagged so nobody mistakes it for a fresh measurement.
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        emit(LAST_LIVE_MBP_S, BASELINE_MBP_S, stale=True,
+             error=f"{type(e).__name__}: {str(e)[:200]}")
+        raise SystemExit(0)

@@ -86,12 +86,15 @@ def test_dcn_two_process_equals_single(rng, tmp_path, collective):
         return procs, outs
 
     procs, outs = run_pair()
-    if any(p.returncode != 0 for p in procs) and \
-            any("DEADLINE_EXCEEDED" in o or "timed out" in o for o in outs):
+    if any(p.returncode != 0 for p in procs):
         # Gloo's connect/KV-store waits are hard-capped at ~30 s; on an
         # oversubscribed CI host (this suite runs 4 xdist workers on as
-        # little as ONE core) a peer can miss that window. One retry on a
-        # fresh port — a genuine logic failure reproduces here.
+        # little as ONE core) a peer can miss that window — and the
+        # resulting error text varies (DEADLINE_EXCEEDED / timed out /
+        # connection refused from the half-initialized peer), so retry on
+        # ANY first-attempt failure with a fresh port. A genuine logic
+        # failure reproduces here, and the byte-equality check below is
+        # the real correctness assertion either way.
         procs, outs = run_pair()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
