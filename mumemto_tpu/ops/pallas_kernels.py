@@ -11,18 +11,19 @@ Enabled with MUMEMTO_TPU_PALLAS=1 (ops/pfp.compute_breaks consults
 `use_pallas()`); the XLA path remains the default. Both paths are
 bit-identical (tested in interpreter mode against the XLA path).
 
-STATUS on the current environment: Mosaic compilation of this kernel
-through the tunneled axon device stalls indefinitely (the same compiler
-pathology class as tuple-carry lax.associative_scan, see
-ops/pfp._segmented_min_after_valid). RE-TESTED round 2 (2026-08-17) on
-the current device: a 1M-element compile hung > 400 s AND wedged the
-remote PJRT service for several minutes afterwards (even `import jax`
-in fresh processes blocked until the remote compile died). The kernel
-stays an opt-in exhibit + halo-blocking template; re-evaluate only on a
-directly-attached TPU. Note the measured perf context: the XLA
+STATUS on the current environment (re-tested round 5, 2026-08-20,
+tools/mosaic_probe.py + tools/pallas_ab_tpu.py): a single-block 8x128
+kernel now compiles and runs in ~18 s (the round-2 "any pallas_call
+wedges the service" state is gone), but THIS kernel still hangs the
+Mosaic compile at production shapes — a 16-block grid over 1M elements
+sat > 20 min with no result (round 2 saw the same at > 400 s). The
+kernel stays an opt-in exhibit + halo-blocking template; re-evaluate on
+a directly-attached TPU. Note the measured perf context: the XLA
 formulation of this mask costs 0.03 s at 16.7M chars — the hot paths
-this round are hardware-gather-bound (LCP descent, RMQ lookups), which
-a Pallas kernel cannot accelerate (same gather unit).
+are hardware-gather-bound (LCP descent, RMQ lookups), and per-element
+random HBM gathers have no Pallas TPU expression anyway (dynamic
+indexing is block-granular scalar-prefetch), so the XLA gather unit is
+the right primitive for them regardless.
 
 Blocking scheme (the round-2 template for halo kernels): the input is
 front-padded by one block so every grid step can read (prev, cur) block

@@ -182,7 +182,9 @@ def collective_anchor_merge(mum_files, output: str, mesh=None,
     """Drop-in analysis/merge.anchor_merge with the fold on device.
 
     mesh: a Mesh whose `axis` has exactly len(mum_files) devices; None
-    builds one over the first len(mum_files) local devices."""
+    builds one over the first len(mum_files) local devices, or — when
+    fewer are addressable (a 1-chip host) — runs the same fold program
+    on device 0 over the host-stacked arrays (no all_gather)."""
     import os
     import sys
 
@@ -192,6 +194,7 @@ def collective_anchor_merge(mum_files, output: str, mesh=None,
     parts = [host_merge.parse_candidate(p) for p in mum_files]
     n_anchor = parts[0][4].size
     n_parts = len(parts)
+    single_device = False
     if mesh is None:
         # local devices only: on a multi-host deployment this merge runs
         # in ONE process (dcn.py's rank 0) — a mesh over jax.devices()
@@ -199,19 +202,29 @@ def collective_anchor_merge(mum_files, output: str, mesh=None,
         # single-process shard_map launch over it fails
         devs = jax.local_devices()
         if len(devs) < n_parts:
-            raise ValueError(
-                f"collective merge of {n_parts} partitions needs that many "
-                f"addressable devices, have {len(devs)}")
-        mesh = jax.sharding.Mesh(
-            np.asarray(devs[:n_parts]).reshape(n_parts), (axis,))
+            # fewer devices than partitions (e.g. a 1-chip host): run the
+            # SAME _fold_all program on device 0 over the host-stacked
+            # arrays — no all_gather, byte-identical output (the
+            # collective form only changes where the stack comes from)
+            single_device = True
+        else:
+            mesh = jax.sharding.Mesh(
+                np.asarray(devs[:n_parts]).reshape(n_parts), (axis,))
     if verbose:
         print(f"collective anchor merge: {n_parts} partitions x "
-              f"{n_anchor} anchor positions", file=sys.stderr)
+              f"{n_anchor} anchor positions"
+              + (" (single-device fold: fewer devices than partitions)"
+                 if single_device else ""), file=sys.stderr)
 
     bv_all, nb_all, len_all = _dense_arrays(parts, n_anchor)
-    fn = compile_collective_merge(mesh, axis, n_anchor, n_parts)
-    bv_f, nb_f, len_f, inter_bv = fn(
-        jnp.asarray(bv_all), jnp.asarray(nb_all), jnp.asarray(len_all))
+    if single_device:
+        bv_f, nb_f, len_f, inter_bv = _fold_all(
+            jnp.asarray(bv_all), jnp.asarray(nb_all), jnp.asarray(len_all),
+            n_parts)
+    else:
+        fn = compile_collective_merge(mesh, axis, n_anchor, n_parts)
+        bv_f, nb_f, len_f, inter_bv = fn(
+            jnp.asarray(bv_all), jnp.asarray(nb_all), jnp.asarray(len_all))
     bv_f = np.asarray(bv_f)
     nb_f = np.asarray(nb_f).astype(np.int64)
     len_f = np.asarray(len_f)

@@ -58,6 +58,29 @@ def test_collective_merge_four_way(rng, tmp_path):
     _compare(tmp_path, parts, 4)
 
 
+def test_collective_merge_single_device_fallback(rng, tmp_path,
+                                                 monkeypatch):
+    """mesh=None with fewer addressable devices than partitions runs the
+    SAME fold program on device 0 (no all_gather) — the 1-chip-host path
+    of `merge --collective`. Byte-equal to the host fold."""
+    genomes = _genomes(rng, 5)
+    paths = _write_fastas(tmp_path, genomes, [f"s{i}" for i in range(5)])
+    p1 = str(tmp_path / "p1")
+    p2 = str(tmp_path / "p2")
+    _run_build([paths[0], paths[1], paths[2]], p1, ["-M", "-n"])
+    _run_build([paths[0], paths[3], paths[4]], p2, ["-M", "-n"])
+    mum_files = [p1 + ".mums", p2 + ".mums"]
+    monkeypatch.setattr(jax, "local_devices", lambda: jax.devices()[:1])
+    host_out = str(tmp_path / "host.mums")
+    coll_out = str(tmp_path / "coll.mums")
+    host_merge.anchor_merge(mum_files, host_out)
+    collective_merge.collective_anchor_merge(mum_files, coll_out, mesh=None)
+    assert (tmp_path / "host.mums").read_bytes() == \
+        (tmp_path / "coll.mums").read_bytes()
+    assert (tmp_path / "host.athresh").read_bytes() == \
+        (tmp_path / "coll.athresh").read_bytes()
+
+
 def test_collective_merge_overlapping_anchor_mums(rng, tmp_path):
     """Partitions built from tandem-structured genomes so anchor MUMs
     overlap in coordinates — exercises the emit-chain trace."""
