@@ -33,6 +33,7 @@ argument in ops/suffix.py; front placement preserves the reference's
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -223,28 +224,41 @@ def _rmq_prepare(values: jax.Array):
 def _rmq_query(table, lo, hi):
     """min(values[lo..hi]) inclusive, lo <= hi, vectorized O(1).
 
-    Lowered as TWO 1-D gathers into a position-major FLAT copy of the
-    sparse table (flat index pos*L1 + lvl): one element fetched per
-    query, so the temporaries are exactly query-sized s32 vectors.
+    Lowered as TWO 1-D gathers into a LEVEL-MAJOR FLAT copy of the
+    sparse table (flat index lvl*n + pos, a plain 1-D concatenate): one
+    element fetched per query, query-sized s32 temporaries, and — the
+    part every earlier formulation got wrong — an UNPADDED table copy.
 
-    The round-4 variant fetched whole (L+1)-column rows per index —
-    but XLA tiles a 2-D (m, L+1) gather output as T(8,128), padding the
-    19-level minor dim to 128: at m = 16.7M bench rows that is TWO 8 GB
-    HLO temps (6.7x padding), which pushed the fused scan program to
-    16.09 GB > 15.75 GB HBM (BENCH_r04 compile OOM). Row fetches are
-    only near-free when the row count is small or the column count is
-    near a tile multiple; a per-query single-element flat gather keeps
-    the position-major locality without the padded intermediate."""
+    History of this lowering (each failure measured on the v5e):
+      * round 4 fetched whole (L+1)-column rows per index; XLA tiles a
+        2-D (m, L+1) gather output as T(8,128), padding ~20 levels to
+        128 — at m = 16.7M query rows, TWO 8 GB temps (BENCH_r04
+        compile OOM).
+      * the round-4 fix queried a position-major flat table built as
+        stack(..., axis=1).reshape(-1); the reshape forces a {1,0}
+        row-major COPY of the (n, L+1) stack, which the same T(8,128)
+        tiling pads to 128 columns — fine at the 8 Mbp shape (n = 2M),
+        but the table over the DICT LCP is nd-sized: 16 GB at the
+        48 Mbp shape, ~10 GB of the 32 Mbp scan's 15.2 GB temps (found
+        via tools/hbm_analysis_tpu.py + a forced compile-OOM dump,
+        2026-08-20) — the silent cause of the tier's razor-thin HBM
+        margin.
+    A 1-D concatenate has no tiled minor dim, so nothing pads: the copy
+    is exactly n*(L+1) ints. Requires n*(L+1) < 2^31 for int32 flat
+    indexing — n <= ~80M at 26 levels, far past what fits in one chip's
+    HBM anyway; guarded by the assert."""
     n = table[0].shape[0]
     L1 = len(table)
+    assert n * L1 < 2**31, "flat RMQ index would overflow int32"
     length = hi - lo + 1
     lvl = jnp.int32(jnp.log2(jnp.maximum(length, 1).astype(jnp.float32)))
     lvl = jnp.where((jnp.int32(1) << lvl) > length, lvl - 1, lvl)
     lvl = jnp.clip(lvl, 0, L1 - 1)
     width = jnp.int32(1) << lvl
-    flat = jnp.stack([t for t in table], axis=1).reshape(-1)  # pos-major
-    ia = jnp.clip(lo, 0, n - 1) * L1 + lvl
-    ib = jnp.clip(hi - width + 1, 0, n - 1) * L1 + lvl
+    flat = jnp.concatenate(list(table))  # level-major, unpadded
+    base = lvl * n
+    ia = base + jnp.clip(lo, 0, n - 1)
+    ib = base + jnp.clip(hi - width + 1, 0, n - 1)
     return jnp.minimum(jnp.take(flat, ia), jnp.take(flat, ib))
 
 
@@ -431,17 +445,32 @@ def _dict_index(ext, phrase_st, phrase_ln, d_starts, npz, total,
     saD, histD, lvlD = ops_suffix._suffix_array_impl(
         d, nd, packed_init=True, max_lvl=lvl_cap, alpha_thresholds=seed_thr)
     if seed_thr is not None:
-        # canonical <= 8-letter alphabet: PLCP/irreducible-LCP path (~3
+        # canonical <= 8-letter alphabet: PLCP/irreducible-LCP path (~4
         # O(nd) random passes instead of ~16 — see _lcp_plcp_impl).
-        # deep_cap nd//3: SNP-pangenome dictionaries keep whole variant
-        # phrases, so irreducible suffixes share ~phrase-length prefixes
-        # and the 9-char probe saturates on ~23% of rows at the 8 Mbp
-        # bench shape (measured on-chip 2026-08-19) — nd//8 silently sent
-        # that shape to the full-width lax.cond fallback, costing ~0.9 s
-        # vs ~0.3 s for the compacted descent at nd//3.
-        lcpD, isaD = ops_suffix._lcp_plcp_impl(
-            saD, histD, d, nd, lvl_static, seed_thr,
-            deep_cap=max(nd // 3, 1024))
+        # probe_words=2 (18-char probe): the 9-char-saturated rows are
+        # overwhelmingly suffixes sharing only the w=10-char trigger
+        # window every phrase starts with — measured on the 8 Mbp bench
+        # dict (tools/deep_hist_tpu.py, 2026-08-20): 22.9% of rows
+        # saturate 9 chars but only 0.09% reach 18. The second probe
+        # word costs one extra O(nd) gather and shrinks the descent
+        # compaction to the nd//16 first tier; nd//3 stays as the
+        # second tier for adversarial dictionaries, with the full-width
+        # descent behind it (all three byte-equal). Measured on chip:
+        # 8 Mbp bench 2.58 -> 2.46 s. HBM: the probe's extra O(nd)
+        # temporaries cost +0.24 GB at the 32 Mbp tier (13.77 of
+        # 15.75 GB, tools/hbm_analysis_tpu.py) — affordable since the
+        # level-major _rmq_query flat table removed the tier's ~4 GB
+        # padded-copy overhead. MUMEMTO_PLCP_PROBE2=0 restores the
+        # single-tier 9-char probe at TRACE time (A/B + memory tooling).
+        if os.environ.get("MUMEMTO_PLCP_PROBE2") != "0":
+            lcpD, isaD = ops_suffix._lcp_plcp_impl(
+                saD, histD, d, nd, lvl_static, seed_thr,
+                deep_cap=max(nd // 3, 1024), probe_words=2,
+                deep_cap_small=max(nd // 16, 1024))
+        else:
+            lcpD, isaD = ops_suffix._lcp_plcp_impl(
+                saD, histD, d, nd, lvl_static, seed_thr,
+                deep_cap=max(nd // 3, 1024))
     else:
         lcpD = ops_suffix._lcp_impl(saD, histD, lvlD, nd,
                                     levels=lvl_static, text=d,

@@ -245,7 +245,8 @@ def _lcp_impl(sa: jax.Array, hist: jax.Array, num_lvl: jax.Array, n: int,
 
 def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
                    levels: int, probe_thr: tuple, deep_cap: int,
-                   num_lvl=None):
+                   num_lvl=None, probe_words: int = 1,
+                   deep_cap_small: int | None = None):
     """PLCP (irreducible-LCP) computation of the adjacent-row LCP array —
     the fast path of the dictionary LCP stage (trace-time alternative to
     _lcp_impl; must be called inside a jit).
@@ -295,7 +296,18 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
     direct (-g) backend passes it; the depth-capped dict path (all rows
     materialized) leaves it None. Uncapped histories end with an
     all-distinct rank row, so there are no tie-interior rows and the
-    result is exact on every non-pad row."""
+    result is exact on every non-pad row.
+
+    probe_words=2 extends the probe to 18 chars with a SECOND packed
+    word (one extra O(n) gather at phi + VPU compares): measured on the
+    8 Mbp bench dict (tools/deep_hist_tpu.py, 2026-08-20), 99.6% of the
+    9-char-saturated rows have plcp in [9, 18) — they share only the
+    w-char trigger window that every PFP phrase begins with, NOT whole
+    variant phrases — so the deep set collapses 1.44M -> ~6K rows and
+    the descent (~8 levels x 2 gathers x deep_cap, the dominant PLCP
+    cost) shrinks with it. deep_cap_small adds a first-tier compaction
+    buffer sized for that regime; rows land in the smallest tier that
+    fits (small -> deep_cap -> full-width fallback), all byte-equal."""
     L = hist.shape[0] - 1
     top = min(levels - 1, L)
 
@@ -334,7 +346,23 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
     for k in range(1, 10):
         s = 27 - 3 * k
         c9 = c9 + ((qj >> s) == (qp >> s)).astype(jnp.int32)
-    deep = irr & (c9 >= 9) & (isa > 0)
+    if probe_words == 2:
+        # second packed word: chars i+9..i+17 (9 more 3-bit codes), one
+        # extra gather at phi; extends exact probe coverage to 18 chars
+        q2 = jnp.zeros((n,), jnp.int32)
+        for j in range(9, 18):
+            q2 = q2 | (_shift_static(code, j, n, 0) << (3 * (17 - j)))
+        q2p = jnp.take(q2, phi)
+        c2 = jnp.zeros((n,), jnp.int32)
+        for k in range(1, 10):
+            s = 27 - 3 * k
+            c2 = c2 + ((q2 >> s) == (q2p >> s)).astype(jnp.int32)
+        probe = c9 + jnp.where(c9 >= 9, c2, 0)
+        probe_len = 18
+    else:
+        probe = c9
+        probe_len = 9
+    deep = irr & (probe >= probe_len) & (isa > 0)
     n_deep = deep.sum(dtype=jnp.int32)
 
     def _descend(a, b, m: int):
@@ -363,30 +391,39 @@ def _lcp_plcp_impl(sa: jax.Array, hist: jax.Array, d: jax.Array, n: int,
             nc = nc + ((wa >> s) == (wb >> s)).astype(jnp.int32)
         return jnp.where(inb, h + nc, h)
 
-    def fast(_):
-        p = jnp.nonzero(deep, size=deep_cap, fill_value=n)[0] \
-            .astype(jnp.int32)
-        a = jnp.clip(p, 0, n - 1)
-        h = _descend(a, jnp.take(phi, a), deep_cap)
+    def fast(cap: int):
+        def run(_):
+            p = jnp.nonzero(deep, size=cap, fill_value=n)[0] \
+                .astype(jnp.int32)
+            a = jnp.clip(p, 0, n - 1)
+            h = _descend(a, jnp.take(phi, a), cap)
 
-        plcp0 = c9.at[p].set(h, mode="drop")
-        plcp0 = jnp.where(isa == 0, 0, plcp0)
-        # chain fill: plcp[i] = plcp0[nx] + (nx - i) for the nearest
-        # irreducible nx >= i (reverse cummin for nx — int32-only, x64 is
-        # disabled — then one gather; nx is always valid because row n-1
-        # is irreducible by construction)
-        nx = jnp.flip(jax.lax.cummin(
-            jnp.flip(jnp.where(irr, idx, n))))
-        plcp = jnp.take(plcp0, jnp.minimum(nx, n - 1)) + (nx - idx)
-        # plcp -> SA order via isa (the inverse permutation is in hand,
-        # so the gather by sa is a routing pass: out[isa[i]] = plcp[i])
-        return route_set(isa, plcp).at[0].set(0)
+            plcp0 = probe.at[p].set(h, mode="drop")
+            plcp0 = jnp.where(isa == 0, 0, plcp0)
+            # chain fill: plcp[i] = plcp0[nx] + (nx - i) for the nearest
+            # irreducible nx >= i (reverse cummin for nx — int32-only,
+            # x64 is disabled — then one gather; nx is always valid
+            # because row n-1 is irreducible by construction)
+            nx = jnp.flip(jax.lax.cummin(
+                jnp.flip(jnp.where(irr, idx, n))))
+            plcp = jnp.take(plcp0, jnp.minimum(nx, n - 1)) + (nx - idx)
+            # plcp -> SA order via isa (the inverse permutation is in
+            # hand, so the gather by sa is a routing pass:
+            # out[isa[i]] = plcp[i])
+            return route_set(isa, plcp).at[0].set(0)
+        return run
 
     def slow(_):
         # classic full-width descent (the _lcp_impl fallback)
         return _descend(prev_sa, sa, n).at[0].set(0)
 
-    lcp = jax.lax.cond(n_deep <= deep_cap, fast, slow, None)
+    if deep_cap_small is not None and deep_cap_small < deep_cap:
+        lcp = jax.lax.cond(
+            n_deep <= deep_cap_small, fast(deep_cap_small),
+            lambda _: jax.lax.cond(n_deep <= deep_cap, fast(deep_cap),
+                                   slow, None), None)
+    else:
+        lcp = jax.lax.cond(n_deep <= deep_cap, fast(deep_cap), slow, None)
     return lcp, isa
 
 
